@@ -1,0 +1,244 @@
+"""Streaming causal convolution layers.
+
+``TemporalConv2d`` reproduces the reference encoder block
+(CRN_ELU.py:194-251): left-context carried in a per-layer ring buffer of
+``(k_t - 1) * dilation_t`` input frames, conv → activation → gated 1x1
+(``trans(out) * sigmoid(gate(out))``) → GlobalLayerNorm. Frequency is
+padded symmetrically inside the conv; time uses only the carried
+context, making the layer exactly causal across chunk boundaries.
+
+``TemporalConvTranspose2d`` reproduces the decoder block
+(CRN_ELU.py:254-311): transposed conv keeping the last ``T`` frames,
+activation + norm, then gated residual fusion with the encoder skip:
+``mask * act(residual(res)) + (1 - mask) * out`` where
+``mask = sigmoid(norm(1x1(res)))``, with frequency pad/crop to match the
+skip. It carries no time state.
+
+``TemporalConv1d`` is the 1-D variant used by GTSA's output head
+(GTSA_original.py:49-99): causal conv1d with ring buffer + gated 1x1 +
+GlobalLayerNorm.
+
+TPU notes: convs lower to ``lax.conv_general_dilated`` → XLA tiles them
+onto the MXU; the elementwise gate/activation fuses into the conv
+epilogue. Buffers are written with ``stop_gradient`` to reproduce the
+reference's truncated-BPTT-at-chunk-edge semantics (CRN_ELU.py:243).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.layers.module import Module, detach, kaiming_conv_init
+from semi_tpu.layers.norms import GlobalLayerNorm
+
+__all__ = ["ACTIVATIONS", "TemporalConv2d", "TemporalConvTranspose2d", "TemporalConv1d"]
+
+ACTIVATIONS = {
+    "ReLU": jax.nn.relu,
+    "ELU": jax.nn.elu,
+    "Tanh": jnp.tanh,
+    "Sigmoid": jax.nn.sigmoid,
+}
+
+
+def conv2d(x, w, b, stride=(1, 1), dilation=(1, 1), padding=((0, 0), (0, 0))):
+    """NCHW conv with OIHW weights (torch layout)."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + b[None, :, None, None]
+
+
+def conv_transpose2d(x, w, b, stride=(1, 1), dilation=(1, 1), padding=((0, 0), (0, 0))):
+    """NCHW transposed conv matching torch.nn.ConvTranspose2d.
+
+    ``w`` is IOHW (torch ConvTranspose layout ``[in, out, kh, kw]``);
+    ``padding`` is torch-style (amount trimmed from each side of the
+    full-correlation output).
+    """
+    kh = (w.shape[2] - 1) * dilation[0] + 1
+    kw = (w.shape[3] - 1) * dilation[1] + 1
+    pads = (
+        (kh - 1 - padding[0][0], kh - 1 - padding[0][1]),
+        (kw - 1 - padding[1][0], kw - 1 - padding[1][1]),
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, (2, 3)).transpose(1, 0, 2, 3),  # IOHW -> OIHW, flipped
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + b[None, :, None, None]
+
+
+class TemporalConv2d(Module):
+    def __init__(self, n_inputs, n_outputs, kernel_size, stride, dilation,
+                 padding, activation="ELU"):
+        self.n_inputs = n_inputs
+        self.n_outputs = n_outputs
+        self.kernel = kernel_size          # (kf, kt)
+        self.stride = stride               # (sf, st)
+        self.dilation = dilation           # (df, dt)
+        self.freq_pad = padding[0]
+        self.time_pad = padding[1]         # (kt - 1) * dt
+        self.act = ACTIVATIONS[activation]
+        self.norm = GlobalLayerNorm(n_outputs, time=False)
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        w, b = kaiming_conv_init(k1, self.n_outputs, self.n_inputs, *self.kernel)
+        wt, bt = kaiming_conv_init(k2, self.n_outputs, self.n_outputs, 1, 1)
+        wg, bg = kaiming_conv_init(k3, self.n_outputs, self.n_outputs, 1, 1)
+        return {
+            "conv": {"w": w, "b": b},
+            "trans": {"w": wt, "b": bt},
+            "gate": {"w": wg, "b": bg},
+            "norm": self.norm.init(k4),
+        }
+
+    def init_state(self, batch: int, num_freqs: int | None = None, dtype=jnp.float32):
+        assert num_freqs is not None, "TemporalConv2d state needs the input freq dim"
+        return {
+            "buffer": jnp.zeros((batch, self.n_inputs, num_freqs, self.time_pad), dtype)
+        }
+
+    def apply(self, params, state, x):
+        # x: [B, C, F, T] -> [B, C', F', T]
+        inp = jnp.concatenate([state["buffer"], x], axis=-1)
+        out = conv2d(
+            inp, params["conv"]["w"], params["conv"]["b"],
+            stride=self.stride, dilation=self.dilation,
+            padding=((self.freq_pad, self.freq_pad), (0, 0)),
+        )
+        out = self.act(out)
+        out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * jax.nn.sigmoid(
+            conv2d(out, params["gate"]["w"], params["gate"]["b"])
+        )
+        out, _ = self.norm.apply(params["norm"], {}, out)
+        new_buffer = detach(inp[..., -self.time_pad:]) if self.time_pad > 0 else state["buffer"]
+        return out, {"buffer": new_buffer}
+
+
+class TemporalConvTranspose2d(Module):
+    def __init__(self, n_inputs, n_outputs, kernel_size, stride, dilation,
+                 padding, activation="ELU"):
+        self.n_inputs = n_inputs
+        self.n_outputs = n_outputs
+        self.kernel = kernel_size
+        self.stride = stride
+        self.dilation = dilation
+        self.freq_pad = padding[0]
+        self.act = ACTIVATIONS[activation]
+        self.norm = GlobalLayerNorm(n_outputs, time=False)
+        self.res_norm = GlobalLayerNorm(n_outputs, time=False)
+
+    def init(self, key):
+        import math
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        # torch ConvTranspose2d default init: fan_in = out_ch * kh * kw
+        kf, kt = self.kernel
+        fan_in = self.n_outputs * kf * kt
+        bound = 1.0 / math.sqrt(fan_in)
+        w = jax.random.uniform(k1, (self.n_inputs, self.n_outputs, kf, kt),
+                               minval=-bound, maxval=bound)
+        b = jax.random.uniform(jax.random.fold_in(k1, 1), (self.n_outputs,),
+                               minval=-bound, maxval=bound)
+        wm, bm = kaiming_conv_init(k2, self.n_outputs, self.n_outputs, 1, 1)
+        wr, br = kaiming_conv_init(k3, self.n_outputs, self.n_outputs, 1, 1)
+        return {
+            "deconv": {"w": w, "b": b},
+            "res_mask": {"w": wm, "b": bm},
+            "residual": {"w": wr, "b": br},
+            "norm": self.norm.init(k4),
+            "res_norm": self.res_norm.init(k5),
+        }
+
+    def apply(self, params, state, x, res=None):
+        # x: [B, C, F, T] -> [B, C', F'', T]; keep last T frames (causal crop)
+        t = x.shape[-1]
+        out = conv_transpose2d(
+            x, params["deconv"]["w"], params["deconv"]["b"],
+            stride=self.stride, dilation=self.dilation,
+            padding=((self.freq_pad, self.freq_pad), (0, 0)),
+        )[..., -t:]
+        out = self.act(out)
+        out, _ = self.norm.apply(params["norm"], {}, out)
+        if res is not None:
+            f_res = res.shape[-2]
+            f_out = out.shape[-2]
+            if f_res > f_out:
+                out = jnp.pad(out, ((0, 0), (0, 0), (0, f_res - f_out), (0, 0)))
+            elif f_res < f_out:
+                out = out[:, :, :f_res]
+            m = conv2d(res, params["res_mask"]["w"], params["res_mask"]["b"])
+            m, _ = self.res_norm.apply(params["res_norm"], {}, m)
+            mask = jax.nn.sigmoid(m)
+            gated_res = self.act(conv2d(res, params["residual"]["w"], params["residual"]["b"]))
+            out = mask * gated_res + (1.0 - mask) * out
+        return out, state
+
+
+class TemporalConv1d(Module):
+    """Causal gated 1-D conv (GTSA output head, GTSA_original.py:11-72).
+
+    ``activation=None`` skips the post-conv activation (the GTSA head
+    uses a linear conv before the gate).
+    """
+
+    def __init__(self, n_inputs, n_outputs, kernel_size, stride, dilation,
+                 padding, activation="ELU"):
+        self.n_inputs = n_inputs
+        self.n_outputs = n_outputs
+        self.kernel = kernel_size
+        self.stride = stride
+        self.dilation = dilation
+        self.time_pad = padding
+        self.act = ACTIVATIONS[activation] if activation is not None else None
+        self.norm = GlobalLayerNorm(n_outputs, time=False)
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        w, b = kaiming_conv_init(k1, self.n_outputs, self.n_inputs, 1, self.kernel)
+        wt, bt = kaiming_conv_init(k2, self.n_outputs, self.n_outputs, 1, 1)
+        wg, bg = kaiming_conv_init(k3, self.n_outputs, self.n_outputs, 1, 1)
+        return {
+            "conv": {"w": w[:, :, 0], "b": b},
+            "trans": {"w": wt[:, :, 0], "b": bt},
+            "gate": {"w": wg[:, :, 0], "b": bg},
+            "norm": self.norm.init(k4),
+        }
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return {"buffer": jnp.zeros((batch, self.n_inputs, self.time_pad), dtype)}
+
+    def apply(self, params, state, x):
+        # x: [B, C, T]
+        inp = jnp.concatenate([state["buffer"], x], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            inp, params["conv"]["w"],
+            window_strides=(self.stride,), padding=((0, 0),),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + params["conv"]["b"][None, :, None]
+        if self.act is not None:
+            y = self.act(y)
+
+        def conv1x1(z, p):
+            return jax.lax.conv_general_dilated(
+                z, p["w"], window_strides=(1,), padding=((0, 0),),
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            ) + p["b"][None, :, None]
+
+        y = conv1x1(y, params["trans"]) * jax.nn.sigmoid(conv1x1(y, params["gate"]))
+        y, _ = self.norm.apply(params["norm"], {}, y[:, :, None, :])
+        y = y[:, :, 0, :]
+        new_buffer = detach(inp[..., -self.time_pad:]) if self.time_pad > 0 else state["buffer"]
+        return y, {"buffer": new_buffer}

@@ -1,0 +1,175 @@
+"""Streaming GRU/LSTM and the SequenceModel wrapper.
+
+Replaces the reference's cuDNN ``nn.GRU/nn.LSTM`` (CRN_ELU.py:98-191)
+with a TPU-friendly formulation: for each layer, the input projection
+for ALL timesteps is computed as one large batched matmul (MXU work),
+and only the small recurrent matmul runs inside a ``lax.scan`` over
+time. Gate math matches torch exactly (gate order r,z,n for GRU and
+i,f,g,o for LSTM) so training dynamics are comparable.
+
+``SequenceModel`` mirrors the reference wrapper: RNN → Linear →
+activation → GlobalLayerNorm(last=True, time=False) over the (T, F)
+dims, with hidden state carried across chunks and detached at the
+chunk boundary (CRN_ELU.py:173, 182-185).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.layers.module import Module, detach, linear_init, rnn_init
+from semi_tpu.layers.norms import GlobalLayerNorm
+
+__all__ = ["GRU", "LSTM", "SequenceModel"]
+
+
+def _gru_layer(params, h0, x):
+    """One GRU layer. x: [B, T, F]; h0: [B, H] -> (y [B, T, H], h [B, H])."""
+    hidden = h0.shape[-1]
+    # Input projection for all timesteps at once: [B, T, 3H]
+    gi = jnp.einsum("btf,gf->btg", x, params["w_ih"]) + params["b_ih"]
+
+    w_hh, b_hh = params["w_hh"], params["b_hh"]
+
+    def step(h, gi_t):
+        gh = h @ w_hh.T + b_hh
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_last, ys = jax.lax.scan(step, h0, gi.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), h_last
+
+
+def _lstm_layer(params, carry0, x):
+    """One LSTM layer. carry0: (h [B,H], c [B,H])."""
+    gi = jnp.einsum("btf,gf->btg", x, params["w_ih"]) + params["b_ih"]
+    w_hh, b_hh = params["w_hh"], params["b_hh"]
+
+    def step(carry, gi_t):
+        h, c = carry
+        gh = h @ w_hh.T + b_hh
+        g = gi_t + gh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        gg = jnp.tanh(gg)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * gg
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    carry, ys = jax.lax.scan(step, carry0, gi.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), carry
+
+
+class GRU(Module):
+    """Multi-layer unidirectional GRU, state carried and detached per call."""
+
+    def __init__(self, input_size, hidden_size, num_layers):
+        self.input_size = input_size
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+
+    def init(self, key):
+        keys = jax.random.split(key, self.num_layers)
+        return [
+            rnn_init(keys[i], 3, self.input_size if i == 0 else self.hidden_size,
+                     self.hidden_size)
+            for i in range(self.num_layers)
+        ]
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return {"h": jnp.zeros((self.num_layers, batch, self.hidden_size), dtype)}
+
+    def apply(self, params, state, x):
+        # x: [B, T, F]
+        hs = []
+        y = x
+        for i in range(self.num_layers):
+            y, h = _gru_layer(params[i], state["h"][i], y)
+            hs.append(h)
+        return y, {"h": detach(jnp.stack(hs))}
+
+
+class LSTM(Module):
+    def __init__(self, input_size, hidden_size, num_layers):
+        self.input_size = input_size
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+
+    def init(self, key):
+        keys = jax.random.split(key, self.num_layers)
+        return [
+            rnn_init(keys[i], 4, self.input_size if i == 0 else self.hidden_size,
+                     self.hidden_size)
+            for i in range(self.num_layers)
+        ]
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        z = jnp.zeros((self.num_layers, batch, self.hidden_size), dtype)
+        return {"h": z, "c": z}
+
+    def apply(self, params, state, x):
+        hs, cs = [], []
+        y = x
+        for i in range(self.num_layers):
+            y, (h, c) = _lstm_layer(params[i], (state["h"][i], state["c"][i]), y)
+            hs.append(h)
+            cs.append(c)
+        return y, {"h": detach(jnp.stack(hs)), "c": detach(jnp.stack(cs))}
+
+
+class SequenceModel(Module):
+    """RNN + Linear + activation + per-chunk layer norm (CRN_ELU.py:98-191).
+
+    Input/output layout ``[B, F, T]`` (feature-major like the reference).
+    """
+
+    def __init__(self, input_size, output_size, hidden_size, num_layers,
+                 sequence_model="GRU", output_activate_function="Tanh",
+                 linear=True):
+        self.linear = linear
+        if not linear:
+            hidden_size = input_size
+        self.input_size = input_size
+        self.output_size = output_size
+        self.hidden_size = hidden_size
+        cls = {"GRU": GRU, "LSTM": LSTM}[sequence_model]
+        self.rnn = cls(input_size, hidden_size, num_layers)
+        self.act = {
+            "Tanh": jnp.tanh,
+            "ReLU": jax.nn.relu,
+            "Sigmoid": jax.nn.sigmoid,
+            "ELU": jax.nn.elu,
+            None: None,
+            False: None,
+        }[output_activate_function]
+        self.norm = GlobalLayerNorm(output_size, last=True, time=False)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        p = {"rnn": self.rnn.init(k1), "norm": self.norm.init(k3)}
+        if self.linear:
+            w, b = linear_init(k2, self.hidden_size, self.output_size)
+            p["fc"] = {"w": w, "b": b}
+        return p
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return self.rnn.init_state(batch, dtype)
+
+    def apply(self, params, state, x):
+        # x: [B, F, T] -> [B, F_out, T]
+        y = x.transpose(0, 2, 1)  # [B, T, F]
+        y, new_state = self.rnn.apply(params["rnn"], state, y)
+        if self.linear:
+            y = y @ params["fc"]["w"].T + params["fc"]["b"]
+        if self.act is not None:
+            y = self.act(y)
+        y, _ = self.norm.apply(params["norm"], {}, y[:, None])  # [B,1,T,F]
+        return y[:, 0].transpose(0, 2, 1), new_state
