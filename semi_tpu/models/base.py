@@ -1,0 +1,119 @@
+"""Streaming model runtime: chunked STFT → stateful forward → iSTFT.
+
+This is the TPU-native replacement for the reference's frame-serial
+``realtime_process`` Python loop (CRN_ELU.py:472-509): the chunk loop
+becomes ``jax.lax.scan`` over the streaming-state pytree, so the whole
+utterance compiles to ONE XLA program. Optional rematerialization
+(``jax.checkpoint``) on the scan body bounds backprop memory for long
+utterances (~40 chunks at 60k samples).
+
+Contract preserved from the reference (README.md:22):
+    ``realtime_process(params, state, mixture[B, M, L], flag)``
+        -> (pred[B, L], state)
+    ``compute_loss(source[B, L], pred[B, L], length[B])``
+        -> (loss, aux, sisnr)
+``flag=False`` starts a fresh utterance: prepend ``segment_length//2``
+zeros, reset state, and drop the warm-up samples from the output
+(CRN_ELU.py:474-481, 507-508). ``flag=True`` continues a stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.ops.segment import over_add, segmentation
+from semi_tpu.ops.stft import StftConfig, istft, stft
+
+__all__ = ["StreamingModel"]
+
+
+class StreamingModel:
+    """Base for chunk-streaming enhancement models.
+
+    Subclasses define:
+        ``init(key) -> params``
+        ``init_state(batch) -> state``
+        ``forward(params, state, x[B, M, F, T, 2]) -> (pred[B, F, T, 2], state)``
+    """
+
+    def __init__(self, segment_length: int, num_freqs: int, sample_rate=16000,
+                 win_length=25, hop_length=10, n_fft=400, remat: bool = True):
+        self.segment_length = segment_length
+        self.num_freqs = num_freqs
+        self.stft_cfg = StftConfig(sample_rate, win_length, hop_length, n_fft)
+        assert self.stft_cfg.num_freqs == num_freqs, (
+            f"n_fft={n_fft} gives {self.stft_cfg.num_freqs} bins, config says {num_freqs}"
+        )
+        self.remat = remat
+
+    # -- subclass API -------------------------------------------------
+    def init(self, key):
+        raise NotImplementedError
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        raise NotImplementedError
+
+    def forward(self, params, state, x):
+        raise NotImplementedError
+
+    # -- chunk pre/post-processing ------------------------------------
+    def preprocessing(self, mixture: jax.Array):
+        """``[B, M, L]`` -> (``[N, B, M, F, T, 2]`` chunk spectra, gap)."""
+        b = mixture.shape[0]
+        chunks, gap = segmentation(mixture, self.segment_length)  # [B*N, M, K]
+        spec = stft(chunks, n_fft=self.stft_cfg.n_fft, hop=self.stft_cfg.hop)
+        # [B*N, M, T, F, 2] -> [B*N, M, F, T, 2]
+        spec = spec.transpose(0, 1, 3, 2, 4)
+        n = spec.shape[0] // b
+        spec = spec.reshape((b, n) + spec.shape[1:]).transpose(1, 0, 2, 3, 4, 5)
+        return spec, gap
+
+    def postprocessing(self, pred_spec: jax.Array, gap: int):
+        """``[N, B, F, T, 2]`` -> ``[B, L]`` via iSTFT + overlap-add."""
+        n, b, f, t, _ = pred_spec.shape
+        flat = pred_spec.reshape(n * b, f, t, 2).transpose(0, 2, 1, 3)  # [NB, T, F, 2]
+        wav = istft(flat, n_fft=self.stft_cfg.n_fft, hop=self.stft_cfg.hop,
+                    length=self.segment_length)
+        wav = wav.reshape(n, b, self.segment_length).transpose(1, 0, 2)
+        return over_add(wav, gap)
+
+    # -- the streaming runtime ----------------------------------------
+    def realtime_process(self, params, state, mixture: jax.Array, flag: bool = False):
+        """Enhance ``mixture[B, M, L]``; ``flag`` is a STATIC python bool."""
+        b, m, _ = mixture.shape
+        if not flag:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+
+        x, gap = self.preprocessing(mixture)  # [N, B, M, F, T, 2]
+
+        def step(st, xc):
+            pred, st2 = self.forward(params, st, xc)
+            return st2, pred
+
+        if self.remat:
+            step = jax.checkpoint(step)
+        state, preds = jax.lax.scan(step, state, x)  # preds [N, B, F, T, 2]
+
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def compute_loss(self, source, pred, length):
+        """Default loss: 0.7 * STOI + 0.3 * (-SI-SNR) with a NaN guard
+        (CRN_ELU.py:513-535). Returns (loss, mae, sisnr)."""
+        from semi_tpu.metrics.losses import si_snr, stoi_loss
+
+        mae = stoi_loss(source, pred, length)
+        sisnr = -si_snr(pred, source, length)
+        loss = 0.7 * mae + 0.3 * sisnr
+        bad = jnp.isnan(loss)
+        zero = jnp.zeros_like(loss)
+        return (
+            jnp.where(bad, zero, loss),
+            jnp.where(bad, zero, mae),
+            jnp.where(bad, zero, sisnr),
+        )

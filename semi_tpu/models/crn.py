@@ -1,0 +1,133 @@
+"""TemporalCRN — the flagship streaming CRN denoiser (ELU variant).
+
+Architecture parity with the reference's best CNN/RNN model
+(CRN_ELU.py:314-535): magnitude of M mics + (M-1) inter-channel phase
+differences → 3 frequency-dilated 5x5 residual pre-convs → 4-level
+gated causal conv encoder (freq stride 2, time dilations 1,2,4,8) →
+2-layer GRU bottleneck over flattened (freq x channel) features →
+mirrored gated-skip decoder → compressed cIRM → complex mask applied to
+the reference mic's spectrum.
+
+~1.55M params at the reference config (num_channels=[16,32,64,128],
+num_freqs=201, hidden=512), matching the reference's "6.16 MB".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.layers.conv import TemporalConv2d, TemporalConvTranspose2d
+from semi_tpu.layers.rnn import SequenceModel
+from semi_tpu.models.base import StreamingModel
+from semi_tpu.ops.mask import complex_mul, decompress_cirm
+
+__all__ = ["TemporalCRN"]
+
+
+class TemporalCRN(StreamingModel):
+    def __init__(self, num_channels, num_freqs, hidden, segment_length,
+                 num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
+                 sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
+                 activation="ELU", remat=True):
+        super().__init__(segment_length, num_freqs, sample_rate, win_length,
+                         hop_length, n_fft, remat=remat)
+        self.num_inputs = num_inputs
+        feat_ch = 2 * num_inputs - 1  # M magnitudes + (M-1) phase diffs
+
+        # 3 frequency-dilated residual pre-convs (CRN_ELU.py:335-340)
+        self.preconvs = [
+            TemporalConv2d(feat_ch, feat_ch, (5, 5), (1, 1), (fd, 1),
+                           (2 * fd, 4), activation=activation)
+            for fd in (1, 2, 4)
+        ]
+
+        # Encoder / decoder (CRN_ELU.py:342-358)
+        self.convs, deconvs = [], []
+        levels = len(num_channels)
+        self.enc_freqs = []  # input freq dim per encoder level
+        f = num_freqs
+        for i in range(levels):
+            dt = 2 ** i
+            in_ch = feat_ch if i == 0 else num_channels[i - 1]
+            out_ch = num_channels[i]
+            self.convs.append(
+                TemporalConv2d(in_ch, out_ch, (5, kernel_size), (2, 1), (1, dt),
+                               (2, (kernel_size - 1) * dt), activation=activation)
+            )
+            self.enc_freqs.append(f)
+            f = (f - 1) // 2 + 1
+            dt_dec = 2 ** (levels - i - 1)
+            dec_out = 2 if i == 0 else in_ch
+            deconvs.insert(0, TemporalConvTranspose2d(
+                out_ch, dec_out, (5, kernel_size), (2, 1), (1, dt_dec),
+                (2, (kernel_size - 1) * dt_dec), activation=activation))
+        self.deconvs = deconvs
+        self.bottleneck_freqs = f  # 13 at reference config
+
+        gru_dim = f * num_channels[-1]
+        self.gru = SequenceModel(gru_dim, gru_dim, hidden, num_layers,
+                                 sequence_model="GRU",
+                                 output_activate_function=activation)
+
+    def init(self, key):
+        n = len(self.preconvs) + len(self.convs) + len(self.deconvs) + 1
+        keys = jax.random.split(key, n)
+        it = iter(keys)
+        return {
+            "preconvs": [m.init(next(it)) for m in self.preconvs],
+            "convs": [m.init(next(it)) for m in self.convs],
+            "gru": self.gru.init(next(it)),
+            "deconvs": [m.init(next(it)) for m in self.deconvs],
+        }
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return {
+            "preconvs": [m.init_state(batch, num_freqs=self.num_freqs, dtype=dtype)
+                         for m in self.preconvs],
+            "convs": [m.init_state(batch, num_freqs=f, dtype=dtype)
+                      for m, f in zip(self.convs, self.enc_freqs)],
+            "gru": self.gru.init_state(batch, dtype),
+        }
+
+    def features(self, x):
+        """``[B, M, F, T, 2]`` -> ``[B, 2M-1, F, T]`` mag + IPD features."""
+        angle = jnp.arctan2(x[..., 1], x[..., 0])
+        ipd = angle[:, :1] - angle[:, 1:]
+        mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2 + 1e-10)
+        return jnp.concatenate([mag, ipd], axis=1)
+
+    def forward(self, params, state, x):
+        # x: [B, M, F, T, 2]
+        noisy = x[:, 0]  # [B, F, T, 2]
+        h = self.features(x)
+
+        new_pre = []
+        for m, p, st in zip(self.preconvs, params["preconvs"], state["preconvs"]):
+            y, st2 = m.apply(p, st, h)
+            h = y + h
+            new_pre.append(st2)
+
+        residuals = [h]
+        new_enc = []
+        for m, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2 = m.apply(p, st, h)
+            residuals.append(h)
+            new_enc.append(st2)
+
+        b, c, f, t = h.shape
+        h = h.reshape(b, c * f, t)
+        h, gru_state = self.gru.apply(params["gru"], state["gru"], h)
+        h = h.reshape(b, c, f, t)
+
+        idx = -2
+        for m, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            h, _ = m.apply(p, {}, h, res=residuals[idx])
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+        mask = h.transpose(0, 2, 3, 1)  # [B, F, T, 2]
+
+        mask = decompress_cirm(mask)
+        er, ei = complex_mul(mask[..., 0], mask[..., 1], noisy[..., 0], noisy[..., 1])
+        pred = jnp.stack([er, ei], axis=-1)
+        return pred, {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}

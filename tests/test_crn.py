@@ -1,0 +1,110 @@
+"""TemporalCRN end-to-end tests: shapes, param budget, scan==loop,
+flag/reset streaming semantics, loss integration, jit + grad."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.models.crn import TemporalCRN
+
+REF_CFG = dict(
+    num_channels=[16, 32, 64, 128], num_freqs=201, hidden=512,
+    segment_length=3200, num_layers=2, num_inputs=3, kernel_size=3,
+)
+
+TINY_CFG = dict(
+    num_channels=[4, 8], num_freqs=201, hidden=16,
+    segment_length=3200, num_layers=1, num_inputs=3, kernel_size=3,
+)
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = TemporalCRN(**TINY_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_param_count_matches_reference():
+    """Reference prints 6.16M params for this config (README.md:56)."""
+    model = TemporalCRN(**REF_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    total = n_params(params)
+    assert 5.9e6 < total < 6.4e6, f"{total/1e6:.2f}M params"
+
+
+def test_forward_shapes(tiny):
+    model, params = tiny
+    state = model.init_state(2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 201, 21, 2))
+    y, state2 = model.forward(params, state, x)
+    assert y.shape == (2, 201, 21, 2)
+    assert state2["gru"]["h"].shape == state["gru"]["h"].shape
+
+
+def test_realtime_process_shapes(tiny):
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4800)) * 0.1
+    y, _ = model.realtime_process(params, None, x, flag=False)
+    assert y.shape == (1, 4800)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_scan_equals_python_loop(tiny):
+    """The lax.scan runtime == an explicit Python chunk loop."""
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 6400)) * 0.1
+    y_scan, _ = model.realtime_process(params, None, x, flag=False)
+
+    # manual loop replicating the runtime
+    pad = jnp.zeros((1, 3, model.segment_length // 2))
+    mix = jnp.concatenate([pad, x], axis=-1)
+    spec, gap = model.preprocessing(mix)
+    st = model.init_state(1)
+    preds = []
+    for i in range(spec.shape[0]):
+        p, st = model.forward(params, st, spec[i])
+        preds.append(p)
+    y_loop = model.postprocessing(jnp.stack(preds), gap)[..., model.segment_length // 2:]
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_loop), atol=2e-5)
+
+
+def test_flag_reset_semantics(tiny):
+    """flag=False resets: two identical fresh calls match exactly;
+    flag=True continues: second segment differs when state differs."""
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 3200)) * 0.1
+    y1, st1 = model.realtime_process(params, None, x, flag=False)
+    y2, _ = model.realtime_process(params, None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=0)
+
+    # continuation with carried state vs fresh state
+    y_cont, _ = model.realtime_process(params, st1, x, flag=True)
+    assert not np.allclose(np.asarray(y_cont), np.asarray(y2), atol=1e-6)
+
+
+def test_jit_and_grad(tiny):
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 3200)) * 0.1
+    src = jax.random.normal(jax.random.PRNGKey(6), (1, 3200)) * 0.1
+    length = jnp.asarray([3200])
+
+    @jax.jit
+    def loss_fn(p):
+        pred, _ = model.realtime_process(p, None, x, flag=False)
+        loss, mae, sisnr = model.compute_loss(src, pred, length)
+        return loss
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # gradient reaches the encoder convs (not blocked by state detach)
+    g0 = np.asarray(grads["convs"][0]["conv"]["w"])
+    assert np.abs(g0).max() > 0
