@@ -1,0 +1,76 @@
+"""Benchmark: streaming real-time factor of the flagship TemporalCRN.
+
+Measures end-to-end ``realtime_process`` (segmentation + STFT + 30
+stateful chunk steps + iSTFT + overlap-add) on 3 s, 3-mic, 16 kHz
+utterances — the reference's headline latency config (BASELINE.md:
+CRN does ~2.69x real time on the author's hardware; CRN.py:628-631).
+
+Methodology: the device link in this environment has a multi-ms
+command round-trip, so K iterations (distinct inputs, chained into one
+jit via lax.scan) run per measurement and the per-iteration time is the
+slope between a K1- and K2-iteration run, cancelling the fixed
+round-trip cost.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_XRT = 2.69  # reference: 3.2 s audio in 1.19 s (CRN.py:630)
+
+
+def main():
+    from semi_tpu.models.crn import TemporalCRN
+
+    model = TemporalCRN(
+        num_channels=[16, 32, 64, 128], num_freqs=201, hidden=512,
+        segment_length=3200, num_layers=2, num_inputs=3, kernel_size=3,
+        remat=False,  # inference: no rematerialization
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    seconds = 3.0
+    length = int(seconds * 16000)
+
+    def make_runner(k):
+        xs = jax.random.normal(jax.random.PRNGKey(1), (k, 1, 3, length)) * 0.1
+
+        @jax.jit
+        def run(params):
+            def body(acc, x):
+                y, _ = model.realtime_process(params, None, x, flag=False)
+                return acc + jnp.sum(y), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+            return total
+
+        return run
+
+    def timed(run, reps=3):
+        float(run(params))  # warmup/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(params))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 4, 24
+    t1 = timed(make_runner(k1))
+    t2 = timed(make_runner(k2))
+    per_iter = max((t2 - t1) / (k2 - k1), 1e-9)
+
+    xrt = seconds / per_iter
+    print(json.dumps({
+        "metric": "streaming_xRT_temporal_crn_3s",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / REF_XRT, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
