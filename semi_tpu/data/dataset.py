@@ -1,0 +1,300 @@
+"""LibriPartyDataset: dynamic on-the-fly mixing with the flag protocol.
+
+Rebuild of the reference dataset (data_c.py:18-252): CSV manifests per
+split {clean, noise, rir}, virtual epochs of 30 000 train / 3 000
+dev-test items, per-item dynamic mixing (perturb → masks/clip → room
+simulation → noise at sampled SNR → peak normalize), long mixtures
+split into 16 000-60 000-sample pieces pushed to a buffer; the first
+piece of an utterance carries ``flag=False`` (reset streaming state),
+later pieces ``flag=True`` (state continues across dataloader items).
+
+TPU-first changes (documented deviations from the reference):
+- The whole mix pipeline (RIR synthesis + convolution + noise + masks)
+  is ONE jitted device function at a static mixture length — no
+  gpuRIR preprocessing device, no CPU mixing.
+- Piece lengths are drawn from 8 000-sample buckets so the train step
+  compiles once per bucket (the reference's fully dynamic lengths would
+  mean unbounded recompilation under XLA).
+- The reference buffer pops LIFO and its split cursor advances
+  ``start += end`` (data_c.py:173-177), silently skipping audio after
+  the second piece; here the buffer is FIFO and the cursor is
+  ``start = end`` — pieces tile the mixture.
+- Randomness is an explicit PRNG key chain seeded per (seed, epoch,
+  index) instead of global torch/numpy state.
+- When manifests are missing, a synthetic source (harmonic "speech" +
+  filtered noise) stands in so tests/benches run hermetically
+  (the reference's Chinese_data symlink is dangling even upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.data.augment import (
+    add_noise, do_clip, drop_chunk, drop_freq, extend_noise, speed_perturb,
+    SPEEDS,
+)
+from semi_tpu.data.rir import RoomConfig, fft_convolve, sample_room, simulate_rir
+from semi_tpu.data.wav import read_wav
+
+MAX_AMP = 0.95
+
+__all__ = ["LibriPartyDataset", "MixPipeline"]
+
+
+class MixPipeline:
+    """Jitted device-side mixer at a static mixture length."""
+
+    def __init__(self, room_cfg: RoomConfig, augment_cfg: dict, mix_len: int):
+        self.room_cfg = room_cfg
+        self.augment_cfg = augment_cfg
+        self.mix_len = mix_len
+        self._mix = jax.jit(self._mix_impl, static_argnames=("augment", "noise"))
+
+    def _mix_impl(self, key, clean, noise_wav, snr_low, snr_high,
+                  augment: bool, noise: bool):
+        """clean: [spk, L]; noise_wav: [L]. Returns (mix[M,L], source[spk,M,L], noise[M,L])."""
+        cfg = self.room_cfg
+        k_room, k_rir, k_aug, k_noise = jax.random.split(key, 4)
+
+        aug = clean
+        if augment:
+            ks = jax.random.split(k_aug, 3 * clean.shape[0]).reshape(
+                clean.shape[0], 3, 2)
+
+            def aug_one(keys, x):
+                x = drop_freq(keys[0], x, **self.augment_cfg.get("freqmask", {}))
+                x = drop_chunk(keys[1], x, **self.augment_cfg.get("timemask", {}))
+                x = do_clip(keys[2], x, **self.augment_cfg.get("clip", {}))
+                return x
+
+            aug = jax.vmap(aug_one)(ks, clean)
+
+        room = sample_room(k_room, cfg)
+        rirs = simulate_rir(k_rir, room, cfg)  # [spk+1, M, R]
+
+        # reverberant augmented sources: [spk, M, L]
+        source = jax.vmap(lambda s, r: fft_convolve(s[None, :], r))(aug, rirs[:-1])
+        mix = jnp.sum(source, axis=0)  # [M, L]
+
+        if noise:
+            noise_multi = fft_convolve(noise_wav[None, :], rirs[-1])  # [M, L]
+            mix, noise_out = add_noise(
+                k_noise, mix, noise_multi,
+                snr_low=snr_low, snr_high=snr_high,
+                mix_prob=self.augment_cfg.get("addnoise", {}).get("mix_prob", 1.0))
+        else:
+            noise_out = jnp.zeros_like(mix)
+
+        peak = jnp.max(jnp.abs(mix))
+        scale = jnp.where(peak >= MAX_AMP, MAX_AMP / (peak + 1e-10), 1.0)
+        return mix * scale, source, noise_out
+
+    def __call__(self, key, clean, noise_wav, snr_low, snr_high,
+                 augment: bool, noise: bool):
+        return self._mix(key, clean, noise_wav,
+                         jnp.asarray(snr_low, jnp.float32),
+                         jnp.asarray(snr_high, jnp.float32),
+                         augment=augment, noise=noise)
+
+
+def _synthetic_clean(rng: np.random.Generator, length: int, fs: int) -> np.ndarray:
+    """Harmonic 'speech-like' signal: pitch drift + formant AM + pauses."""
+    t = np.arange(length) / fs
+    f0 = 110.0 * 2 ** rng.uniform(-0.3, 0.8)
+    drift = 1.0 + 0.08 * np.sin(2 * np.pi * rng.uniform(0.3, 1.5) * t)
+    phase = 2 * np.pi * np.cumsum(f0 * drift) / fs
+    sig = np.zeros(length, np.float32)
+    for h in range(1, 6):
+        sig += rng.uniform(0.2, 1.0) / h * np.sin(h * phase).astype(np.float32)
+    env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1.5, 4.0) * t +
+                            rng.uniform(0, 2 * np.pi)))
+    gate = (np.sin(2 * np.pi * rng.uniform(0.2, 0.6) * t) > -0.7).astype(np.float32)
+    sig = sig * (0.2 + 0.8 * env).astype(np.float32) * gate
+    return (0.3 * sig / (np.abs(sig).max() + 1e-8)).astype(np.float32)
+
+
+def _synthetic_noise(rng: np.random.Generator, length: int) -> np.ndarray:
+    white = rng.standard_normal(length).astype(np.float32)
+    k = np.exp(-np.arange(64) / rng.uniform(2.0, 32.0)).astype(np.float32)
+    shaped = np.convolve(white, k / k.sum(), mode="same")
+    return (shaped / (np.abs(shaped).max() + 1e-8)).astype(np.float32)
+
+
+class LibriPartyDataset:
+    def __init__(self, config: dict, synthetic_ok: bool = True):
+        self.config = config
+        self.sample_rate = config["config"]["sample_rate"]
+        self.spk_num = config["config"]["spk_num"]
+        self.max_length = config["config"].get("max_length", 60000)
+        self.mix_len = config["config"].get("mix_length", 64000)
+        self.seed = config["config"].get("seed", 0)
+        self.synthetic_ok = synthetic_ok
+
+        self.all_csv = self._load_manifests(config.get("dataset", {}))
+        self.buffer: list = []
+        self.epoch = 0
+
+        mc = dict(config["augment"]["multichannel"])
+        self.room_cfg = RoomConfig(
+            room_limit=tuple(map(tuple, mc["room_limit"])),
+            t60_limit=tuple(mc["t60_limit"]),
+            beta_limit=tuple(map(tuple, mc["beta_limit"])),
+            array_limit=tuple(map(tuple, mc["array_limit"])),
+            mic_limit=tuple(map(tuple, mc["mic_limit"])),
+            source_limit=tuple(map(tuple, mc["source_limit"])),
+            num_src=mc["num_src"], num_mic=mc["num_mic"], fs=mc["fs"])
+        self.pipeline = MixPipeline(self.room_cfg, config["augment"], self.mix_len)
+
+        self.set_attribute("train")
+
+    # -- manifests ----------------------------------------------------
+    def _load_manifests(self, dataset_cfg: dict) -> dict:
+        out = {}
+        for split in ("train", "dev", "test"):
+            entry = {}
+            split_cfg = dataset_cfg.get(split, {})
+            for kind, paths in split_cfg.items():
+                rows = []
+                for p in paths:
+                    if os.path.exists(p):
+                        import pandas as pd
+                        df = pd.read_csv(p)
+                        rows.extend(df["path"].dropna().tolist())
+                entry[kind] = rows
+            out[split] = entry
+        return out
+
+    def _have_real_data(self) -> bool:
+        csv = self.all_csv.get(self.dataset, {})
+        return bool(csv.get("clean")) and bool(csv.get("noise"))
+
+    # -- reference API -------------------------------------------------
+    def set_attribute(self, dataset: str, augment: bool = True,
+                      perturb: bool = False, rir: bool = False,
+                      noise: bool = True, snr_low: float = 0,
+                      snr_high: float = 25):
+        self.dataset = dataset
+        self.do_augment = augment
+        self.do_perturb = perturb
+        self.do_noise = noise
+        if dataset == "test":
+            self.snr_low, self.snr_high = snr_low, snr_high
+        else:
+            a = self.config["augment"]["addnoise"]
+            self.snr_low, self.snr_high = a["snr_low"], a["snr_high"]
+        self.buffer = []
+
+    def init_seed(self, seed: int):
+        self.epoch = seed
+
+    def __len__(self):
+        return 30000 if self.dataset == "train" else 3000
+
+    # -- item generation -----------------------------------------------
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index,
+                                    hash(self.dataset) & 0x7FFFFFFF]))
+
+    def _load_clean(self, rng: np.random.Generator) -> np.ndarray:
+        if self._have_real_data():
+            paths = self.all_csv[self.dataset]["clean"]
+            wav = np.zeros(0, np.float32)
+            while len(wav) < 16000:
+                wav, _ = read_wav(paths[int(rng.integers(len(paths)))],
+                                  self.sample_rate)
+            return wav
+        length = int(rng.integers(32000, 96000))
+        return _synthetic_clean(rng, length, self.sample_rate)
+
+    def _load_noise(self, rng: np.random.Generator, target_len: int) -> np.ndarray:
+        if self._have_real_data():
+            paths = self.all_csv[self.dataset]["noise"]
+            wav, _ = read_wav(paths[int(rng.integers(len(paths)))],
+                              self.sample_rate)
+            wav = extend_noise(wav, target_len, self.sample_rate)
+        else:
+            wav = _synthetic_noise(rng, target_len + int(rng.integers(0, 16000)))
+        if len(wav) > target_len:
+            start = int(rng.integers(len(wav) - target_len + 1))
+            wav = wav[start: start + target_len]
+        return wav.astype(np.float32)
+
+    def _make_utterance(self, index: int):
+        rng = self._rng(index)
+        cleans = []
+        for _ in range(self.spk_num):
+            wav = self._load_clean(rng)
+            if self.do_perturb:
+                speed = SPEEDS[int(rng.integers(len(SPEEDS)))]
+                wav = np.asarray(speed_perturb(jnp.asarray(wav), speed,
+                                               self.sample_rate))
+            cleans.append(wav)
+
+        # static mixture length: trim/zero-pad to mix_len
+        clean = np.zeros((self.spk_num, self.mix_len), np.float32)
+        for i, wav in enumerate(cleans):
+            n = min(len(wav), self.mix_len)
+            clean[i, :n] = wav[:n]
+        utt_len = min(max(len(w) for w in cleans), self.mix_len)
+
+        noise_wav = self._load_noise(rng, self.mix_len)
+        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        mix, source, noise = self.pipeline(
+            key, jnp.asarray(clean), jnp.asarray(noise_wav),
+            self.snr_low, self.snr_high,
+            augment=self.do_augment, noise=self.do_noise)
+        return (np.asarray(mix), np.asarray(source), np.asarray(noise), utt_len)
+
+    def _bucket(self, n: int) -> int:
+        return max(16000, (n // 8000) * 8000)
+
+    def _split_to_buffer(self, mix, source, noise, utt_len, rng):
+        """Piece protocol (data_c.py:155-178) with FIFO + tiling cursor."""
+        if self.dataset == "test":
+            n = self._bucket(utt_len)
+            self.buffer.append((mix[:, :n], source[:, :, :n], noise[:, :n],
+                                n, False))
+            return
+        start = 0
+        first = True
+        while start < utt_len:
+            want = int(rng.integers(16000, self.max_length))
+            end = min(utt_len, start + want)
+            if end - start < 16000:
+                break
+            n = self._bucket(end - start)
+            end = start + n
+            if end > utt_len:
+                break
+            self.buffer.append((mix[:, start:end], source[:, :, start:end],
+                                noise[:, start:end], n, not first))
+            start = end
+            first = False
+
+    def __getitem__(self, index: int) -> dict:
+        rng = self._rng(index)
+        while not self.buffer:
+            mix, source, noise, utt_len = self._make_utterance(index)
+            self._split_to_buffer(mix, source, noise, utt_len, rng)
+            index += 1  # advance so a rejected utterance isn't resampled
+        mix, source, noise, length, flag = self.buffer.pop(0)
+        return {
+            "mix": mix[None],                     # [1, M, L]
+            "source": source[None],               # [1, spk, M, L]
+            "length": np.asarray([length]),       # [1]
+            "noise": noise[None],                 # [1, M, L]
+            "flag": flag,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        for i in range(len(self)):
+            yield self[i]

@@ -1,0 +1,167 @@
+"""Data pipeline tests: RIR physics, augmenters, dataset protocol."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.data.augment import (
+    add_noise, do_clip, drop_chunk, drop_freq, extend_noise, notch_kernel,
+)
+from semi_tpu.data.rir import RoomConfig, fft_convolve, sample_room, simulate_rir
+
+ROOM_CFG = RoomConfig(
+    room_limit=((3, 3, 2.5), (4, 5, 3)),
+    t60_limit=(0.2, 1.0),
+    beta_limit=((0.5,) * 6, (1.0,) * 6),
+    array_limit=((0.1, 0.1, 0.2), (0.9, 0.9, 0.7)),
+    mic_limit=((0.06, 0.06, 0.06), (0.15, 0.15, 0.15)),
+    source_limit=((0.0, 0.0, 0.3), (1.0, 1.0, 0.7)),
+    num_src=1, num_mic=3, fs=16000,
+)
+
+
+def test_room_sampling_within_limits():
+    s = sample_room(jax.random.PRNGKey(0), ROOM_CFG)
+    room = np.asarray(s.room)
+    assert np.all(room >= [3, 3, 2.5]) and np.all(room <= [4, 5, 3])
+    assert 0.2 <= float(s.t60) <= 1.0
+    assert s.mic_pos.shape == (3, 3) and s.src_pos.shape == (2, 3)
+
+
+def test_rir_direct_path_and_decay():
+    s = sample_room(jax.random.PRNGKey(1), ROOM_CFG)
+    rir = np.asarray(simulate_rir(jax.random.PRNGKey(2), s, ROOM_CFG))
+    assert rir.shape[0] == 2 and rir.shape[1] == 3
+    # direct path arrives at dist/c
+    dist = float(np.linalg.norm(np.asarray(s.src_pos[0]) - np.asarray(s.mic_pos[0])))
+    expected_tap = dist / 343.0 * 16000
+    first_tap = np.argmax(np.abs(rir[0, 0]) > 1e-6)
+    assert abs(first_tap - expected_tap) < 3
+    # energy decays: second half much quieter than first 50 ms
+    early = np.sum(rir[0, 0, :800] ** 2)
+    late = np.sum(rir[0, 0, 8000:] ** 2)
+    assert early > late
+
+
+def test_fft_convolve_matches_numpy():
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal((2, 1000)).astype(np.float32)
+    ker = rng.standard_normal((2, 64)).astype(np.float32)
+    ours = np.asarray(fft_convolve(jnp.asarray(sig), jnp.asarray(ker)))
+    for i in range(2):
+        ref = np.convolve(sig[i], ker[i])[:1000]
+        np.testing.assert_allclose(ours[i], ref, atol=1e-3)
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(1)
+    clean = jnp.asarray(rng.standard_normal((3, 16000)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((3, 16000)).astype(np.float32))
+    noisy, n_out = add_noise(jax.random.PRNGKey(0), clean, noise,
+                             snr_low=10, snr_high=10, mix_prob=1.0)
+    # achieved amplitude-ratio SNR ~ 10 dB under the speechbrain convention
+    s_amp = float(jnp.mean(jnp.abs(clean * (1 - 1 / (10 ** 0.5 + 1)))))
+    n_amp = float(jnp.mean(jnp.abs(n_out)))
+    snr_db = 20 * np.log10(s_amp / n_amp)
+    assert abs(snr_db - 10) < 1.5
+
+
+def test_notch_kernel_rejects_frequency():
+    freq = 0.25  # of Nyquist
+    k = np.asarray(notch_kernel(jnp.asarray(freq), 101, 0.05))
+    w, h = np.fft.rfftfreq(1024, 0.5), np.abs(np.fft.rfft(k, 1024))
+    # response near the (shifted) notch center freq+width is low,
+    # far away it's ~1
+    notch_bin = int((freq + 0.05) / 2 * 1024)
+    assert h[notch_bin] < 0.2
+    assert h[10] > 0.8 and h[-10] > 0.8
+
+
+def test_drop_chunk_zeroes_spans():
+    x = jnp.ones((16000,))
+    y = drop_chunk(jax.random.PRNGKey(3), x, drop_prob=1.0)
+    y = np.asarray(y)
+    assert (y == 0).sum() >= 100
+    assert (y == 1).sum() > 12000
+
+
+def test_do_clip():
+    x = jnp.linspace(-2, 2, 100)
+    y = do_clip(jax.random.PRNGKey(4), x, clip_low=0.5, clip_high=0.5, clip_prob=1.0)
+    assert float(jnp.max(jnp.abs(y))) <= 0.5 + 1e-6
+
+
+def test_extend_noise():
+    noise = np.random.default_rng(0).standard_normal(20000).astype(np.float32)
+    out = extend_noise(noise, 50000, 16000)
+    assert len(out) >= 50000
+    np.testing.assert_allclose(out[:3000], noise[:3000], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    config = {
+        "config": {"sample_rate": 16000, "spk_num": 1, "seed": 0,
+                   "max_length": 60000, "mix_length": 64000},
+        "dataset": {},
+        "augment": {
+            "addnoise": {"mix_prob": 1.0, "snr_low": -5, "snr_high": 25},
+            "freqmask": {"drop_prob": 0.5},
+            "timemask": {"drop_prob": 0.5},
+            "clip": {"clip_low": 0.5, "clip_high": 1.0, "clip_prob": 0.5},
+            "multichannel": {
+                "room_limit": [[3, 3, 2.5], [4, 5, 3]],
+                "t60_limit": [0.2, 1.0],
+                "beta_limit": [[0.5] * 6, [1.0] * 6],
+                "array_limit": [[0.1, 0.1, 0.2], [0.9, 0.9, 0.7]],
+                "mic_limit": [[0.06, 0.06, 0.06], [0.15, 0.15, 0.15]],
+                "source_limit": [[0.0, 0.0, 0.3], [1.0, 1.0, 0.7]],
+                "num_src": 1, "num_mic": 3, "fs": 16000,
+            },
+        },
+    }
+    return LibriPartyDataset(config)
+
+
+def test_dataset_item_shapes_and_flags(dataset):
+    dataset.set_attribute("train", augment=False)
+    dataset.init_seed(1)
+    items = [dataset[i] for i in range(4)]
+    for it in items:
+        b, m, length = it["mix"].shape
+        assert (b, m) == (1, 3)
+        assert length % 8000 == 0 and 16000 <= length <= 64000
+        assert it["source"].shape == (1, 1, 3, length)
+        assert it["length"][0] == length
+        assert np.all(np.isfinite(it["mix"]))
+        assert np.abs(it["mix"]).max() <= MAX_AMP_TOL
+    assert items[0]["flag"] is False  # first piece of an utterance
+
+
+MAX_AMP_TOL = 0.95 + 1e-4
+
+
+def test_dataset_mix_is_source_plus_noise(dataset):
+    dataset.set_attribute("test", augment=False, snr_low=0, snr_high=25)
+    dataset.init_seed(2)
+    it = dataset[0]
+    assert it["flag"] is False
+    # mix correlates strongly with reverberant source (scale-invariant)
+    mix, src = it["mix"][0, 0], it["source"][0, 0, 0]
+    corr = np.corrcoef(mix, src)[0, 1]
+    assert corr > 0.3
+
+
+def test_dataset_determinism(dataset):
+    dataset.set_attribute("train", augment=True)
+    dataset.init_seed(7)
+    dataset.buffer = []
+    a = dataset[0]
+    dataset.init_seed(7)
+    dataset.buffer = []
+    b = dataset[0]
+    np.testing.assert_allclose(a["mix"], b["mix"], atol=0)
