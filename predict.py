@@ -1,0 +1,111 @@
+"""Evaluation / streaming-serve CLI, mirroring the reference predict.py.
+
+Usage (reference: predict.py:182-191):
+    python predict.py ./config.yaml TemporalCRN --user_defined_name crn
+
+Streams the test split through ``realtime_process``, measures the
+real-time factor (RTF = wall x 16000 / samples, predict.py:91-94), and
+reports SI-SDR / STOI / PESQ for enhanced vs noisy with running
+delta/before/after means (predict.py:105-148). RTF is a first-class
+reported stat (the BASELINE.json north-star metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.data.dataset import LibriPartyDataset
+from semi_tpu.metrics.eval import si_sdr, stoi, wb_pesq
+from semi_tpu.models import build_model
+from semi_tpu.train.checkpoint import load_pytree
+from semi_tpu.utils.config import load_config
+
+
+def predict(config_path: str, model_name: str, user_defined_name: str,
+            num_items: int | None = None, weights: str | None = None):
+    config = load_config(config_path)
+    model = build_model(model_name, config[model_name])
+    params = model.init(jax.random.PRNGKey(0))
+
+    ckpt = weights or os.path.join(
+        config["config"]["checkpoint_dir"], "denoise", user_defined_name,
+        model_name + ".npz")
+    if os.path.exists(ckpt):
+        params = load_pytree(ckpt, params)
+        print(f"loaded weights from {ckpt}")
+    else:
+        print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
+
+    dataset = LibriPartyDataset(config)
+    dataset.set_attribute("test", augment=False, perturb=False)
+    dataset.init_seed(0)
+
+    run = jax.jit(
+        lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
+
+    total = num_items or len(dataset)
+    sums = {k: 0.0 for k in
+            ("d_sisdr", "b_sisdr", "a_sisdr", "d_stoi", "b_stoi", "a_stoi",
+             "d_pesq", "b_pesq", "a_pesq")}
+    rtf_acc, count = 0.0, 0
+
+    for i in range(total):
+        data = dataset[i]
+        mix = jnp.asarray(data["mix"])          # [1, M, L]
+        src = np.asarray(data["source"][0, 0, 0])  # mic0 reverberant target
+        noisy = np.asarray(data["mix"][0, 0])
+
+        t0 = time.perf_counter()
+        pred = np.asarray(run(params, mix))[0]
+        dt = time.perf_counter() - t0
+        rtf_acc += dt * 16000.0 / mix.shape[-1]
+
+        m_after = {
+            "sisdr": si_sdr(src, pred),
+            "stoi": stoi(src, pred, 16000),
+            "pesq": wb_pesq(src, pred),
+        }
+        m_before = {
+            "sisdr": si_sdr(src, noisy),
+            "stoi": stoi(src, noisy, 16000),
+            "pesq": wb_pesq(src, noisy),
+        }
+        count += 1
+        for k in ("sisdr", "stoi", "pesq"):
+            sums[f"b_{k}"] += m_before[k]
+            sums[f"a_{k}"] += m_after[k]
+            sums[f"d_{k}"] += m_after[k] - m_before[k]
+
+        print(f"[{i+1}/{total}] RTF={rtf_acc/count:.4f} "
+              f"SI-SDR {sums['b_sisdr']/count:+.2f} -> {sums['a_sisdr']/count:+.2f} "
+              f"(d {sums['d_sisdr']/count:+.2f}) | "
+              f"STOI {sums['b_stoi']/count:.4f} -> {sums['a_stoi']/count:.4f} "
+              f"(d {sums['d_stoi']/count:+.4f}) | "
+              f"PESQ~ {sums['b_pesq']/count:.3f} -> {sums['a_pesq']/count:.3f} "
+              f"(d {sums['d_pesq']/count:+.3f})", flush=True)
+
+    print(f"\nFinal over {count} items: RTF={rtf_acc/max(count,1):.4f} "
+          f"({1.0/(rtf_acc/max(count,1)):.1f}x real-time)")
+    return {k: v / max(count, 1) for k, v in sums.items()} | {
+        "rtf": rtf_acc / max(count, 1)}
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="default")
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("name", type=str, help="Model name")
+    parser.add_argument("--user_defined_name", default="model", type=str)
+    parser.add_argument("--num_items", default=None, type=int,
+                        help="Limit number of test items (default: full split)")
+    parser.add_argument("--weights", default=None, type=str,
+                        help="Explicit checkpoint path override")
+    args = parser.parse_args()
+    predict(args.config_path, args.name, args.user_defined_name,
+            num_items=args.num_items, weights=args.weights)

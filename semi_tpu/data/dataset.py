@@ -196,7 +196,10 @@ class LibriPartyDataset:
         self.epoch = seed
 
     def __len__(self):
-        return 30000 if self.dataset == "train" else 3000
+        cfg = self.config["config"]
+        if self.dataset == "train":
+            return cfg.get("train_epoch_size", 30000)
+        return cfg.get("eval_epoch_size", 3000)
 
     # -- item generation -----------------------------------------------
     def _rng(self, index: int) -> np.random.Generator:

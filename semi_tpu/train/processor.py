@@ -1,0 +1,190 @@
+"""The Processor trainer harness.
+
+Functional rebuild of the reference Processor (train.py:21-266): config
+→ model by name, epoch loop over the virtual-epoch dataset, train/dev
+phases, gradient accumulation, ReduceLROnPlateau on dev loss, best-dev
+checkpointing, TensorBoard-tag-compatible logging, full resume.
+
+TPU specifics:
+- The per-item work is ONE jitted program per (length-bucket, flag)
+  pair; streaming model state threads across items so the dataset's
+  continuation protocol is preserved.
+- On a multi-device mesh the batch dim shards over ``dp``; at the
+  reference's batch_size=1 the mesh is size 1 (the step function is
+  mesh-agnostic — see __graft_entry__.dryrun_multichip for the
+  multi-chip path).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.data.dataset import LibriPartyDataset
+from semi_tpu.models import build_model
+from semi_tpu.train.checkpoint import (
+    load_counters, load_pytree, save_counters, save_pytree)
+from semi_tpu.train.optim import plateau_step
+from semi_tpu.train.step import (
+    TrainState, init_train_state, make_eval_step, make_train_step)
+from semi_tpu.utils.config import load_config
+from semi_tpu.utils.tb import ScalarWriter
+
+__all__ = ["Processor"]
+
+
+class Processor:
+    STAGES = ["denoise"]
+
+    def __init__(self, model_name: str, config_path: str,
+                 user_defined_name: str = "model", dataset=None):
+        self.config = load_config(config_path)
+        self.config["user_defined_name"] = user_defined_name
+        self.modelname = model_name
+        self.model = build_model(model_name, self.config[model_name])
+        self.dataset = dataset if dataset is not None else LibriPartyDataset(self.config)
+
+        self.epoch = -1
+        self.train_step_count = 0
+        self.dev_step_count = 0
+        self.last_loss = 1e8
+        self.writer = None
+        self._jit_cache: dict = {}
+
+    # -- paths ----------------------------------------------------------
+    def _stage_dir(self, stage_name: str) -> str:
+        return os.path.join(self.config["config"]["checkpoint_dir"], stage_name,
+                            self.config["user_defined_name"])
+
+    def _log_dir(self, stage_name: str) -> str:
+        return os.path.join(self.config["config"]["log_dir"], stage_name,
+                            self.config["user_defined_name"])
+
+    # -- checkpointing (reference train.py:77-126) -----------------------
+    def save_modules(self, stage_name: str, ts: TrainState,
+                     save_weights: bool) -> None:
+        d = self._stage_dir(stage_name)
+        os.makedirs(d, exist_ok=True)
+        if save_weights:
+            save_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
+        save_pytree(os.path.join(d, "optimizer.npz"),
+                    {"opt_state": ts.opt_state, "grad_accum": ts.grad_accum,
+                     "accum_count": ts.accum_count, "plateau": ts.plateau,
+                     "step": ts.step})
+        save_counters(os.path.join(d, "Epoch.json"), self.epoch,
+                      self.train_step_count, self.dev_step_count, self.last_loss)
+
+    def load_modules(self, stage_name: str, ts: TrainState) -> TrainState:
+        d = self._stage_dir(stage_name)
+        params = load_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
+        rest_t = {"opt_state": ts.opt_state, "grad_accum": ts.grad_accum,
+                  "accum_count": ts.accum_count, "plateau": ts.plateau,
+                  "step": ts.step}
+        rest = load_pytree(os.path.join(d, "optimizer.npz"), rest_t)
+        counters = load_counters(os.path.join(d, "Epoch.json"))
+        self.epoch = counters["Epoch"]
+        self.train_step_count = counters["Train_Step"]
+        self.dev_step_count = counters["Dev_Step"]
+        self.last_loss = counters["Last_Loss"]
+        return TrainState(params=params, **rest)
+
+    # -- the epoch loop ---------------------------------------------------
+    def train(self, stage: int = 0, resume: bool = False) -> None:
+        stage_name = self.STAGES[stage]
+        cfg = self.config[stage_name]
+        num_epoch = cfg["num_epoch"]
+        accum = cfg.get("gradient_accumulation", 2)
+        max_grad_norm = self.config["config"].get("max_grad_norm", 5)
+
+        key = jax.random.PRNGKey(self.config["config"].get("seed", 0))
+        params = self.model.init(key)
+        ts = init_train_state(params, cfg["lr"], max_grad_norm)
+        if resume:
+            ts = self.load_modules(stage_name, ts)
+
+        self.writer = ScalarWriter(self._log_dir(stage_name),
+                                   purge_step=self.train_step_count)
+        self._train_fn = jax.jit(
+            make_train_step(self.model, accum, max_grad_norm),
+            static_argnums=3, donate_argnums=(0,))
+        self._eval_fn = jax.jit(make_eval_step(self.model), static_argnums=3)
+
+        for epoch in range(self.epoch + 1, num_epoch):
+            self.epoch = epoch
+            ts = self._run_epoch(ts, "train", epoch)
+            self.writer.flush()
+            ts, dev_loss = self._run_epoch_dev(ts, epoch, stage_name)
+            self.writer.flush()
+            ts = ts._replace(plateau=plateau_step(ts.plateau, dev_loss))
+            self.save_modules(stage_name, ts, save_weights=False)
+        self._final_ts = ts
+
+    def _batch_to_device(self, data: dict) -> dict:
+        return {
+            "mix": jnp.asarray(data["mix"]),
+            "source": jnp.asarray(data["source"][:, 0, 0]),  # spk0, mic0 [B, L]
+            "length": jnp.asarray(data["length"]),
+        }
+
+    def _run_epoch(self, ts: TrainState, mode: str, epoch: int) -> TrainState:
+        avg_step = self.config["config"].get("avg_step", 100)
+        self.dataset.set_attribute(mode, augment=False)
+        self.dataset.init_seed(epoch + 1)
+        self.dataset.buffer = []
+        model_state = self.model.init_state(1)
+
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        for i in range(len(self.dataset)):
+            data = self.dataset[i]
+            batch = self._batch_to_device(data)
+            ts, model_state, metrics = self._train_fn(
+                ts, model_state, batch, bool(data["flag"]))
+            sums["loss"] += float(metrics["loss"])
+            sums["logmse"] += float(metrics["aux"])
+            sums["sisnr"] += float(metrics["sisnr"])
+            self.train_step_count += 1
+            if (i + 1) % avg_step == 0:
+                print(f"train, Epoch: {epoch}, Step: {self.train_step_count}\n"
+                      f"loss: {sums['loss']/avg_step:.4f}, "
+                      f"logmse: {sums['logmse']/avg_step:.4f}, "
+                      f"sisnr: {sums['sisnr']/avg_step:.4f}", flush=True)
+                for name in ("loss", "logmse", "sisnr"):
+                    self.writer.add_scalar(f"train_loss/train_{name}",
+                                           sums[name] / avg_step,
+                                           self.train_step_count)
+                    sums[name] = 0.0
+        return ts
+
+    def _run_epoch_dev(self, ts: TrainState, epoch: int, stage_name: str):
+        self.dataset.set_attribute("dev", augment=False)
+        self.dataset.init_seed(epoch + 1)
+        self.dataset.buffer = []
+        model_state = self.model.init_state(1)
+
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        count = 0
+        for i in range(len(self.dataset)):
+            data = self.dataset[i]
+            batch = self._batch_to_device(data)
+            model_state, metrics, _ = self._eval_fn(
+                ts.params, model_state, batch, bool(data["flag"]))
+            sums["loss"] += float(metrics["loss"])
+            sums["logmse"] += float(metrics["aux"])
+            sums["sisnr"] += float(metrics["sisnr"])
+            count += 1
+            self.dev_step_count += 1
+
+        dev_loss = sums["loss"] / max(count, 1)
+        for name in ("loss", "logmse", "sisnr"):
+            self.writer.add_scalar(f"dev_loss/dev_{name}",
+                                   sums[name] / max(count, 1),
+                                   self.dev_step_count)
+        if dev_loss < self.last_loss:
+            self.last_loss = dev_loss
+            self.save_modules(stage_name, ts, save_weights=True)
+        return ts, dev_loss
