@@ -80,8 +80,12 @@ def conv_transpose2d(x, w, b, stride=(1, 1), dilation=(1, 1), padding=((0, 0), (
 
 
 class TemporalConv2d(Module):
+    """``gated=False`` gives the plain conv+act+norm variant used by the
+    CRN v1 / GeneralBeamformer encoders (CRN.py:290-342,
+    GeneralBeamformer.py:156-211)."""
+
     def __init__(self, n_inputs, n_outputs, kernel_size, stride, dilation,
-                 padding, activation="ELU"):
+                 padding, activation="ELU", gated=True):
         self.n_inputs = n_inputs
         self.n_outputs = n_outputs
         self.kernel = kernel_size          # (kf, kt)
@@ -90,19 +94,19 @@ class TemporalConv2d(Module):
         self.freq_pad = padding[0]
         self.time_pad = padding[1]         # (kt - 1) * dt
         self.act = ACTIVATIONS[activation]
+        self.gated = gated
         self.norm = GlobalLayerNorm(n_outputs, time=False)
 
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         w, b = kaiming_conv_init(k1, self.n_outputs, self.n_inputs, *self.kernel)
-        wt, bt = kaiming_conv_init(k2, self.n_outputs, self.n_outputs, 1, 1)
-        wg, bg = kaiming_conv_init(k3, self.n_outputs, self.n_outputs, 1, 1)
-        return {
-            "conv": {"w": w, "b": b},
-            "trans": {"w": wt, "b": bt},
-            "gate": {"w": wg, "b": bg},
-            "norm": self.norm.init(k4),
-        }
+        p = {"conv": {"w": w, "b": b}, "norm": self.norm.init(k4)}
+        if self.gated:
+            wt, bt = kaiming_conv_init(k2, self.n_outputs, self.n_outputs, 1, 1)
+            wg, bg = kaiming_conv_init(k3, self.n_outputs, self.n_outputs, 1, 1)
+            p["trans"] = {"w": wt, "b": bt}
+            p["gate"] = {"w": wg, "b": bg}
+        return p
 
     def init_state(self, batch: int, num_freqs: int | None = None, dtype=jnp.float32):
         assert num_freqs is not None, "TemporalConv2d state needs the input freq dim"
@@ -119,9 +123,10 @@ class TemporalConv2d(Module):
             padding=((self.freq_pad, self.freq_pad), (0, 0)),
         )
         out = self.act(out)
-        out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * jax.nn.sigmoid(
-            conv2d(out, params["gate"]["w"], params["gate"]["b"])
-        )
+        if self.gated:
+            out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * jax.nn.sigmoid(
+                conv2d(out, params["gate"]["w"], params["gate"]["b"])
+            )
         out, _ = self.norm.apply(params["norm"], {}, out)
         new_buffer = detach(inp[..., -self.time_pad:]) if self.time_pad > 0 else state["buffer"]
         return out, {"buffer": new_buffer}

@@ -5,10 +5,16 @@ Mirrors the reference's ``globals()[name](**config[name])`` dispatch
 """
 
 from semi_tpu.models.base import StreamingModel
+from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.crn import TemporalCRN
+from semi_tpu.models.fullsubnet import FullSubNet
+from semi_tpu.models.gtsa import GTSA
 
 MODEL_REGISTRY: dict[str, type] = {
     "TemporalCRN": TemporalCRN,
+    "FullSubNet": FullSubNet,
+    "GTSA": GTSA,
+    "GeneralBeamformer": GeneralBeamformer,
 }
 
 
