@@ -114,21 +114,25 @@ class TemporalConv2d(Module):
             "buffer": jnp.zeros((batch, self.n_inputs, num_freqs, self.time_pad), dtype)
         }
 
-    def apply(self, params, state, x):
+    def apply(self, params, state, x, return_feature: bool = False):
         # x: [B, C, F, T] -> [B, C', F', T]
         inp = jnp.concatenate([state["buffer"], x], axis=-1)
-        out = conv2d(
+        feature = conv2d(
             inp, params["conv"]["w"], params["conv"]["b"],
             stride=self.stride, dilation=self.dilation,
             padding=((self.freq_pad, self.freq_pad), (0, 0)),
         )
-        out = self.act(out)
+        out = self.act(feature)
         if self.gated:
             out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * jax.nn.sigmoid(
                 conv2d(out, params["gate"]["w"], params["gate"]["b"])
             )
         out, _ = self.norm.apply(params["norm"], {}, out)
         new_buffer = detach(inp[..., -self.time_pad:]) if self.time_pad > 0 else state["buffer"]
+        if return_feature:
+            # pre-activation tap for margin-ReLU distillation
+            # (distillation_crn.py:206-215)
+            return out, {"buffer": new_buffer}, feature
         return out, {"buffer": new_buffer}
 
 
@@ -166,15 +170,15 @@ class TemporalConvTranspose2d(Module):
             "res_norm": self.res_norm.init(k5),
         }
 
-    def apply(self, params, state, x, res=None):
+    def apply(self, params, state, x, res=None, return_feature: bool = False):
         # x: [B, C, F, T] -> [B, C', F'', T]; keep last T frames (causal crop)
         t = x.shape[-1]
-        out = conv_transpose2d(
+        feature = conv_transpose2d(
             x, params["deconv"]["w"], params["deconv"]["b"],
             stride=self.stride, dilation=self.dilation,
             padding=((self.freq_pad, self.freq_pad), (0, 0)),
         )[..., -t:]
-        out = self.act(out)
+        out = self.act(feature)
         out, _ = self.norm.apply(params["norm"], {}, out)
         if res is not None:
             f_res = res.shape[-2]
@@ -188,6 +192,8 @@ class TemporalConvTranspose2d(Module):
             mask = jax.nn.sigmoid(m)
             gated_res = self.act(conv2d(res, params["residual"]["w"], params["residual"]["b"]))
             out = mask * gated_res + (1.0 - mask) * out
+        if return_feature:
+            return out, state, feature
         return out, state
 
 

@@ -163,13 +163,17 @@ class SequenceModel(Module):
     def init_state(self, batch: int, dtype=jnp.float32):
         return self.rnn.init_state(batch, dtype)
 
-    def apply(self, params, state, x):
+    def apply(self, params, state, x, return_feature: bool = False):
         # x: [B, F, T] -> [B, F_out, T]
         y = x.transpose(0, 2, 1)  # [B, T, F]
         y, new_state = self.rnn.apply(params["rnn"], state, y)
         if self.linear:
             y = y @ params["fc"]["w"].T + params["fc"]["b"]
+        feature = y  # pre-activation fc output [B, T, F_out]
         if self.act is not None:
             y = self.act(y)
         y, _ = self.norm.apply(params["norm"], {}, y[:, None])  # [B,1,T,F]
-        return y[:, 0].transpose(0, 2, 1), new_state
+        y = y[:, 0].transpose(0, 2, 1)
+        if return_feature:
+            return y, new_state, feature
+        return y, new_state

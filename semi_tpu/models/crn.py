@@ -131,3 +131,80 @@ class TemporalCRN(StreamingModel):
         er, ei = complex_mul(mask[..., 0], mask[..., 1], noisy[..., 0], noisy[..., 1])
         pred = jnp.stack([er, ei], axis=-1)
         return pred, {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+
+    # -- distillation support (reference: distillation_crn.py:337-477) ---
+    def get_channel_num(self):
+        """Channel widths of the 5 feature taps (distillation_crn.py:386-387)."""
+        ch = [m.n_outputs for m in self.convs]
+        return [ch[-1], ch[-1], ch[2], ch[1], ch[0]]
+
+    def forward_with_features(self, params, state, x):
+        """Forward that also returns the 5 pre-activation distillation taps:
+        last encoder conv, GRU fc output, and the first 3 decoder deconvs."""
+        noisy = x[:, 0]
+        h = self.features(x)
+
+        new_pre = []
+        for m, p, st in zip(self.preconvs, params["preconvs"], state["preconvs"]):
+            y, st2 = m.apply(p, st, h)
+            h = y + h
+            new_pre.append(st2)
+
+        residuals = [h]
+        new_enc = []
+        feats = []
+        ft = None
+        for m, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2, ft = m.apply(p, st, h, return_feature=True)
+            residuals.append(h)
+            new_enc.append(st2)
+        feats.append(ft)  # only the LAST encoder tap (distillation_crn.py:352-358)
+
+        b, c, f, t = h.shape
+        h = h.reshape(b, c * f, t)
+        h, gru_state, gru_ft = self.gru.apply(params["gru"], state["gru"], h,
+                                              return_feature=True)
+        h = h.reshape(b, c, f, t)
+        # reference reshapes the [B, T, C*F] tap straight to [B, C, F, T]
+        # without a transpose (distillation_crn.py:361-365) — kept verbatim
+        feats.append(gru_ft.reshape(b, c, f, t))
+
+        idx = -2
+        for m, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            h, _, ft = m.apply(p, {}, h, res=residuals[idx], return_feature=True)
+            feats.append(ft)
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+        mask = h.transpose(0, 2, 3, 1)
+
+        mask = decompress_cirm(mask)
+        er, ei = complex_mul(mask[..., 0], mask[..., 1], noisy[..., 0], noisy[..., 1])
+        pred = jnp.stack([er, ei], axis=-1)
+        new_state = {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+        return pred, feats, new_state
+
+    def realtime_process_with_features(self, params, state, mixture,
+                                       flag: bool = False):
+        """Like realtime_process but also returns per-tap features with the
+        chunk axis folded into batch: list of [N*B, Ck, Fk, T]."""
+        b, m, _ = mixture.shape
+        if not flag:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+
+        x, gap = self.preprocessing(mixture)
+
+        def step(st, xc):
+            pred, feats, st2 = self.forward_with_features(params, st, xc)
+            return st2, (pred, tuple(feats))
+
+        if self.remat:
+            step = jax.checkpoint(step)
+        state, (preds, feats) = jax.lax.scan(step, state, x)
+
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        feats = [f.reshape((-1,) + f.shape[2:]) for f in feats]  # [N*B, ...]
+        return wav, feats, state

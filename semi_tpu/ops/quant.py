@@ -1,0 +1,66 @@
+"""Int8 weight quantization for inference.
+
+TPU-native analog of the reference's (commented) dynamic quantization
+of the distilled student's GRU/Linear weights to qint8
+(predict_distillation.py:37-39). Weight matrices are quantized
+per-output-channel symmetric int8; at apply time they dequantize into
+the matmul, halving weight memory traffic — the dominant cost for the
+0.8M-param student whose GRU weights are read every 10 ms frame.
+
+``quantize_tree`` rewrites a params pytree in place: each targeted 2-D
+weight leaf becomes ``{"q": int8, "scale": f32[out, 1]}``;
+``dequantize_tree`` restores plain arrays so quantized checkpoints run
+through the unmodified model code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_int8", "dequantize_int8", "quantize_tree", "dequantize_tree"]
+
+TARGET_KEYS = ("w_ih", "w_hh", "w")  # RNN and Linear weight names
+
+
+def quantize_int8(w: jax.Array):
+    """Per-row symmetric int8: returns {"q": int8[out, in], "scale": [out, 1]}."""
+    amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_int8(qw: dict) -> jax.Array:
+    return qw["q"].astype(jnp.float32) * qw["scale"]
+
+
+def _is_target(path, leaf) -> bool:
+    if not hasattr(leaf, "ndim") or leaf.ndim != 2:
+        return False
+    last = str(path[-1])
+    return any(k in last for k in TARGET_KEYS)
+
+
+def quantize_tree(params):
+    """Quantize all 2-D RNN/Linear weights in a params pytree."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        out.append(quantize_int8(leaf) if _is_target(path, leaf) else leaf)
+    return jax.tree_util.tree_unflatten(treedef, out), [
+        _is_target(p, l) for p, l in flat]
+
+
+def dequantize_tree(qparams, mask=None):
+    """Restore a quantize_tree output to plain float arrays."""
+    def walk(node):
+        if isinstance(node, dict) and set(node) == {"q", "scale"}:
+            return dequantize_int8(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(qparams)

@@ -46,7 +46,20 @@ class Processor:
         self.config = load_config(config_path)
         self.config["user_defined_name"] = user_defined_name
         self.modelname = model_name
-        self.model = build_model(model_name, self.config[model_name])
+        if model_name == "DistillationCRN":
+            # built from the TemporalCRN section + teacher ckpt path
+            # (reference: train_distillation.py:53-58)
+            from semi_tpu.models.distillation import DistillationCRN
+
+            section = dict(self.config["TemporalCRN"])
+            teacher = os.path.join(self.config["config"]["checkpoint_dir"],
+                                   "denoise", user_defined_name,
+                                   "TemporalCRN.npz")
+            if os.path.exists(teacher):
+                section["path"] = teacher
+            self.model = DistillationCRN(**section)
+        else:
+            self.model = build_model(model_name, self.config[model_name])
         self.dataset = dataset if dataset is not None else LibriPartyDataset(self.config)
 
         self.epoch = -1
@@ -58,8 +71,12 @@ class Processor:
 
     # -- paths ----------------------------------------------------------
     def _stage_dir(self, stage_name: str) -> str:
-        return os.path.join(self.config["config"]["checkpoint_dir"], stage_name,
-                            self.config["user_defined_name"])
+        # distillation runs save under dillation_dir (config.yaml:14,
+        # train_distillation.py:77-79)
+        base = self.config["config"]["checkpoint_dir"]
+        if self.modelname == "DistillationCRN":
+            base = self.config["config"].get("dillation_dir", base)
+        return os.path.join(base, stage_name, self.config["user_defined_name"])
 
     def _log_dir(self, stage_name: str) -> str:
         return os.path.join(self.config["config"]["log_dir"], stage_name,

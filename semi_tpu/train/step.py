@@ -54,8 +54,16 @@ def make_train_step(model, accum_every: int = 2, max_grad_norm: float = 5.0,
     tx = make_optimizer(max_grad_norm)
     loss_kwargs = loss_kwargs or {}
 
+    # Models with a fused train_loss (e.g. DistillationCRN, where the loss
+    # needs feature taps from two networks) bypass the 2-call contract.
+    has_train_loss = hasattr(model, "train_loss")
+
     def step(ts: TrainState, model_state, batch, flag: bool):
         def loss_fn(params):
+            if has_train_loss:
+                loss, aux, sisnr, new_ms = model.train_loss(
+                    params, model_state, batch, flag)
+                return loss, (aux, sisnr, new_ms)
             pred, new_ms = model.realtime_process(
                 params, model_state, batch["mix"], flag)
             loss, aux, sisnr = model.compute_loss(

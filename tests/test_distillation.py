@@ -1,0 +1,102 @@
+"""DistillationCRN + int8 quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.models.distillation import DistillationCRN
+from semi_tpu.ops.quant import dequantize_tree, quantize_int8, quantize_tree
+
+CFG = dict(num_channels=[8, 8, 16, 16], num_freqs=201, hidden=32,
+           segment_length=3200, num_layers=1, num_inputs=3, kernel_size=3)
+
+
+@pytest.fixture(scope="module")
+def distill():
+    m = DistillationCRN(**CFG)
+    params = m.init(jax.random.PRNGKey(0))
+    return m, params
+
+
+def test_student_param_budget():
+    """The reference student config is ~0.8M params (README.md:58)."""
+    m = DistillationCRN(num_channels=[16, 32, 64, 128], num_freqs=201,
+                        hidden=512, segment_length=3200, num_layers=2,
+                        num_inputs=3, kernel_size=3)
+    params = m.init(jax.random.PRNGKey(0))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params["student"]))
+    assert 0.6e6 < n < 1.1e6, f"{n/1e6:.2f}M"
+
+
+def test_student_init_copies_matching_teacher_shapes(distill):
+    m, params = distill
+    # preconvs have identical shapes in teacher and student -> copied
+    t = np.asarray(params["teacher"]["preconvs"][0]["conv"]["w"])
+    s = np.asarray(params["student"]["preconvs"][0]["conv"]["w"])
+    np.testing.assert_allclose(t, s, atol=0)
+    # encoder conv0 differs in shape here (tiny teacher) -> kept fresh
+    assert (params["teacher"]["convs"][0]["conv"]["w"].shape
+            != params["student"]["convs"][0]["conv"]["w"].shape)
+
+
+def test_train_loss_and_grads(distill):
+    m, params = distill
+    batch = {
+        "mix": jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3200)) * 0.1,
+        "source": jax.random.normal(jax.random.PRNGKey(2), (1, 3200)) * 0.1,
+        "length": jnp.asarray([3200]),
+    }
+    state = m.init_state(1)
+
+    def loss_fn(p):
+        loss, stoi, sisnr, _ = m.train_loss(p, state, batch, False)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # teacher receives no gradient; student and connectors do
+    t_g = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads["teacher"]))
+    s_g = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads["student"]))
+    c_g = max(float(jnp.max(jnp.abs(g))) for g in
+              jax.tree.leaves(grads["connectors"]))
+    assert t_g == 0.0
+    assert s_g > 0.0 and c_g > 0.0
+
+
+def test_margin_relu_semantics():
+    ft = jnp.asarray([[[[-2.0, -1.0, 1.0, 3.0]]]]).reshape(1, 1, 2, 2)
+    margin = DistillationCRN._get_margin(ft)
+    assert float(margin[0, 0, 0, 0]) == pytest.approx(-1.5)
+
+
+def test_eval_uses_student(distill):
+    m, params = distill
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 3200)) * 0.1
+    y, _ = m.realtime_process(params, None, x, flag=False)
+    y_s, _ = m.student.realtime_process(params["student"], None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_s), atol=0)
+
+
+def test_int8_quantization_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qw = quantize_int8(w)
+    assert qw["q"].dtype == jnp.int8
+    err = float(jnp.max(jnp.abs(qw["q"].astype(jnp.float32) * qw["scale"] - w)))
+    assert err < float(jnp.max(jnp.abs(w))) / 127.0 + 1e-6
+
+
+def test_quantized_student_quality(distill):
+    """Weight-only int8 student stays close to the float student."""
+    m, params = distill
+    q, _ = quantize_tree(params["student"])
+    deq = dequantize_tree(q)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 3200)) * 0.1
+    y_f, _ = m.student.realtime_process(params["student"], None, x, flag=False)
+    y_q, _ = m.student.realtime_process(deq, None, x, flag=False)
+    a, b = np.asarray(y_f)[0], np.asarray(y_q)[0]
+    err = np.abs(a - b).max()
+    sig = np.abs(a).max() + 1e-9
+    assert err / sig < 0.15  # small perturbation, same signal
