@@ -17,6 +17,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persistent compile cache: the suite re-jits large programs per process.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compile cache — this environment compiles through a
+# remote service whose CPU AOT machine flags differ from the local host
+# (cpu_aot_loader warns about SIGILL risk when reloading such artifacts).

@@ -1,0 +1,47 @@
+"""HiFi-GAN trainer smoke: one tiny epoch per stage on synthetic data."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_trainer import TINY_CONFIG
+
+
+@pytest.fixture()
+def gan_config(tmp_path):
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["checkpoint_dir"] = str(tmp_path / "modules")
+    cfg["config"]["log_dir"] = str(tmp_path / "log")
+    cfg["config"]["train_epoch_size"] = 2
+    cfg["config"]["avg_step"] = 1
+    cfg["Hifi_GAN"] = {
+        "nffts": [400, 800], "n_mels": 80, "num_channels": [4, 8, 8, 8],
+        "num_freqs": 201, "hidden": 16, "segment_length": 3200,
+        "num_layers": 1, "num_inputs": 3, "kernel_size": 3,
+        "sample_rate": 16000, "win_length": 25, "hop_length": 10,
+        "n_fft": 400,
+    }
+    for s in (1, 2, 3):
+        cfg[f"stage{s}"] = {"num_epoch": 1, "lr": 3e-4, "n_warm_steps": 100}
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p), cfg
+
+
+def test_stage1_then_warmstart_stage3(gan_config):
+    from semi_tpu.train.gan import GanProcessor
+
+    path, cfg = gan_config
+    proc = GanProcessor(path, user_defined_name="g")
+    proc.train(stage=1, resume=False)
+    ckpt = os.path.join(cfg["config"]["checkpoint_dir"], "stage1", "g",
+                        "Hifi_GAN.npz")
+    assert os.path.exists(ckpt)
+
+    proc3 = GanProcessor(path, user_defined_name="g")
+    proc3.train(stage=2, resume=False, load_model=True)
+    assert os.path.exists(os.path.join(cfg["config"]["checkpoint_dir"],
+                                       "stage2", "g", "Hifi_GAN.npz"))

@@ -1,0 +1,107 @@
+"""HiFi-GAN tests: generator streaming, discriminators, 3-stage losses."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.models.hifigan import (
+    HifiGAN, mel_filterbank, wn_init, wn_weight,
+)
+
+CFG = dict(nffts=[400, 800], n_mels=80, num_channels=[4, 8, 8, 8],
+           num_freqs=201, hidden=16, segment_length=3200, num_layers=1,
+           num_inputs=3, kernel_size=3)
+
+
+@pytest.fixture(scope="module")
+def gan():
+    m = HifiGAN(**CFG)
+    return m, m.init(jax.random.PRNGKey(0))
+
+
+def test_weight_norm_identity_at_init():
+    p = wn_init(jax.random.PRNGKey(0), (8, 4, 3, 3), 36)
+    w = wn_weight(p)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(p["v"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 400, 80)
+    assert fb.shape == (201, 80)
+    assert np.all(fb >= 0)
+    # each filter is a unit-peak triangle except possibly degenerate edges
+    peaks = fb.max(axis=0)
+    assert np.all(peaks[5:] > 0.2)
+    # filter centers increase monotonically in frequency
+    centers = fb.argmax(axis=0)
+    assert np.all(np.diff(centers[5:]) >= 0)
+    # htk mel spacing: first center near 0, last near Nyquist bin
+    assert centers[-1] > 180
+
+
+def test_generator_streaming_and_both_outputs(gan):
+    m, params = gan
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3200)) * 0.1
+    y_post, y_pre, st = m.generator.realtime_process(
+        params["generator"], None, x, post=True, reset=True)
+    assert y_post.shape == y_pre.shape == (1, 3200)
+    assert np.all(np.isfinite(np.asarray(y_post)))
+    assert not np.allclose(np.asarray(y_post), np.asarray(y_pre))
+
+
+def test_stage_losses_and_grads(gan):
+    m, params = gan
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 3200)) * 0.1
+    y = x[:, 0] * 0.8
+
+    for stage in (1, 2):
+        def loss_fn(p):
+            loss, _, _ = m.stage_g_loss(p, None, x, y, stage, flag=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss)), f"stage {stage}"
+        g_gen = max(float(jnp.max(jnp.abs(g)))
+                    for g in jax.tree.leaves(grads["generator"]))
+        assert g_gen > 0
+
+
+def test_stage3_adversarial(gan):
+    m, params = gan
+    # discriminator conv stacks need >= the reference's minimum training
+    # piece length (16000 samples); shorter inputs collapse the nfft=800
+    # mel branch to zero width (true of the reference too)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 16000)) * 0.1
+    y = x[:, 0] * 0.8
+
+    def g_loss(p):
+        loss, y_hat, _ = m.stage_g_loss(p, None, x, y, 3, flag=False)
+        return loss, y_hat
+
+    (gl, y_hat), g_grads = jax.value_and_grad(g_loss, has_aux=True)(params)
+    assert np.isfinite(float(gl))
+    # generator grads flow; discriminator grads are zero in the G step
+    d_g = max(float(jnp.max(jnp.abs(g)))
+              for g in jax.tree.leaves(g_grads["mel_disc"]))
+    assert d_g == 0.0
+
+    def d_loss(p):
+        return m.stage_d_loss(p, y_hat, y)
+
+    dl, d_grads = jax.value_and_grad(d_loss)(params)
+    assert np.isfinite(float(dl))
+    d_g2 = max(float(jnp.max(jnp.abs(g)))
+               for g in jax.tree.leaves(d_grads["mel_disc"]))
+    g_g2 = max(float(jnp.max(jnp.abs(g)))
+               for g in jax.tree.leaves(d_grads["generator"]))
+    assert d_g2 > 0 and g_g2 == 0.0
+
+
+def test_eval_contract(gan):
+    m, params = gan
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 3200)) * 0.1
+    y, st = m.realtime_process(params, None, x, flag=False)
+    assert y.shape == (1, 3200)
