@@ -1,0 +1,91 @@
+"""Distilled-student evaluation CLI (reference: predict_distillation.py:14-160).
+
+Evaluates the DistillationCRN student, optionally through the int8
+weight-quantized inference path (the reference's commented
+``torch.quantization.quantize_dynamic({GRU, Linear}, qint8)``,
+predict_distillation.py:37-39).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+
+from semi_tpu.models.distillation import DistillationCRN
+from semi_tpu.train.checkpoint import load_pytree
+from semi_tpu.utils.config import load_config
+
+
+def main():
+    parser = argparse.ArgumentParser(description="default")
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--user_defined_name", default="model", type=str)
+    parser.add_argument("--num_items", default=None, type=int)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-quantized student inference")
+    args = parser.parse_args()
+
+    config = load_config(args.config_path)
+    section = dict(config["TemporalCRN"])
+    model = DistillationCRN(**section)
+    params = model.init(jax.random.PRNGKey(0))
+
+    ckpt = os.path.join(config["config"].get("dillation_dir", "./dillations"),
+                        "denoise", args.user_defined_name,
+                        "DistillationCRN.npz")
+    if os.path.exists(ckpt):
+        params = load_pytree(ckpt, params)
+        print(f"loaded weights from {ckpt}")
+    else:
+        print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
+
+    student = params["student"]
+    if args.quantize:
+        from semi_tpu.ops.quant import dequantize_tree, quantize_tree
+
+        q, _ = quantize_tree(student)
+        student = dequantize_tree(q)
+        print("int8 weight quantization applied to the student")
+
+    from predict import predict  # reuse the generic harness internals
+    import predict as predict_mod
+
+    # run the generic loop with the student model + weights
+    import jax.numpy as jnp
+    import time
+
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.metrics.eval import si_sdr, stoi, wb_pesq
+
+    dataset = LibriPartyDataset(config)
+    dataset.set_attribute("test", augment=False, perturb=False)
+    dataset.init_seed(0)
+
+    run = jax.jit(lambda p, x: model.student.realtime_process(
+        p, None, x, flag=False)[0])
+
+    total = args.num_items or len(dataset)
+    rtf_acc, count = 0.0, 0
+    d_sisdr = d_stoi = 0.0
+    for i in range(total):
+        data = dataset[i]
+        mix = jnp.asarray(data["mix"])
+        src = np.asarray(data["source"][0, 0, 0])
+        noisy = np.asarray(data["mix"][0, 0])
+        t0 = time.perf_counter()
+        pred = np.asarray(run(student, mix))[0]
+        rtf_acc += (time.perf_counter() - t0) * 16000.0 / mix.shape[-1]
+        count += 1
+        d_sisdr += si_sdr(src, pred) - si_sdr(src, noisy)
+        d_stoi += stoi(src, pred) - stoi(src, noisy)
+        print(f"[{i+1}/{total}] RTF={rtf_acc/count:.4f} "
+              f"dSI-SDR={d_sisdr/count:+.2f} dSTOI={d_stoi/count:+.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

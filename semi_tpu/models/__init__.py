@@ -6,6 +6,7 @@ Mirrors the reference's ``globals()[name](**config[name])`` dispatch
 
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
+from semi_tpu.models.complex_crn import ComplexTemporalCRN
 from semi_tpu.models.crn import TemporalCRN
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
@@ -15,6 +16,7 @@ MODEL_REGISTRY: dict[str, type] = {
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,
+    "Complex_TemporalCRN": ComplexTemporalCRN,
 }
 
 

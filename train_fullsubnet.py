@@ -1,0 +1,23 @@
+"""FullSubNet training CLI (reference: train_fullsubnet.py:208-221).
+
+Delegates to the generic Processor — the FullSubNet model satisfies the
+realtime_process/compute_loss contract (extra spectra returns are only
+produced when a source is passed), so no trainer clone is needed.
+"""
+
+import argparse
+
+from semi_tpu.train.processor import Processor
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="default")
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--stage", default=0, type=int)
+    parser.add_argument("--resume", default=False, type=bool)
+    parser.add_argument("--user_defined_name", default="model", type=str)
+    parser.add_argument("--gpu", type=int, nargs="+", default=None)
+    parser.add_argument("--local_rank", default=-1, type=int)
+    args = parser.parse_args()
+    Processor("FullSubNet", args.config_path,
+              user_defined_name=args.user_defined_name).train(
+        stage=args.stage, resume=args.resume)
