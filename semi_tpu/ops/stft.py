@@ -29,6 +29,9 @@ __all__ = [
     "stft",
     "istft",
     "StftConfig",
+    "dft_matrices",
+    "stft_matmul",
+    "istft_matmul",
 ]
 
 
@@ -106,6 +109,83 @@ def stft(
     frames = _frame(x, n_fft, hop) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.stack([spec.real, spec.imag], axis=-1).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_np(n_fft: int):
+    """Real DFT as matrices: fwd [n_fft, 2F] (cos|-sin), inv [2F, n_fft]."""
+    f = n_fft // 2 + 1
+    k = np.arange(f)[None, :]
+    n = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * n * k / n_fft
+    fwd = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # [n_fft, 2F]
+    # inverse: x[n] = (1/N) * sum_k w_k (re_k cos - im_k sin), w = 2 except DC/Nyq
+    w = np.full((f,), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    inv = np.concatenate([
+        (np.cos(ang) * w[None, :]).T,          # [F, n_fft] from real part
+        (-np.sin(ang) * w[None, :]).T,         # [F, n_fft] from imag part
+    ], axis=0) / n_fft                          # [2F, n_fft]
+    return fwd.astype(np.float32), inv.astype(np.float32)
+
+
+def dft_matrices(n_fft: int):
+    fwd, inv = _dft_np(n_fft)
+    return jnp.asarray(fwd), jnp.asarray(inv)
+
+
+def stft_matmul(
+    x: jax.Array,
+    n_fft: int = 400,
+    hop: int = 160,
+    window: jax.Array | None = None,
+) -> jax.Array:
+    """STFT with the rFFT expressed as one MXU matmul.
+
+    Numerically identical to :func:`stft` (exact real-DFT matrix); for
+    the 400-point transform on many small frames the systolic-array
+    matmul beats XLA's generic small-batch FFT. Layout ``[..., T, F, 2]``.
+    """
+    if window is None:
+        window = hamming_window(n_fft, dtype=x.dtype)
+    frames = _frame(x, n_fft, hop) * window          # [..., T, n_fft]
+    fwd, _ = dft_matrices(n_fft)
+    spec = frames @ fwd                               # [..., T, 2F]
+    f = n_fft // 2 + 1
+    return jnp.stack([spec[..., :f], spec[..., f:]], axis=-1)
+
+
+def istft_matmul(
+    spec: jax.Array,
+    n_fft: int = 400,
+    hop: int = 160,
+    window: jax.Array | None = None,
+    length: int | None = None,
+    eps: float = 1e-11,
+) -> jax.Array:
+    """iSTFT with the irFFT as one MXU matmul (see :func:`istft`)."""
+    if window is None:
+        window = hamming_window(n_fft, dtype=spec.dtype)
+    num_frames = spec.shape[-3]
+    _, inv = dft_matrices(n_fft)
+    flat = jnp.concatenate([spec[..., 0], spec[..., 1]], axis=-1)  # [..., T, 2F]
+    frames = (flat @ inv) * window                                  # [..., T, n_fft]
+
+    total = n_fft + (num_frames - 1) * hop
+    idx = jnp.asarray(_frame_indices(num_frames, n_fft, hop))
+    lead = frames.shape[:-2]
+    ff = frames.reshape((-1, num_frames, n_fft))
+    out = jnp.zeros((ff.shape[0], total), dtype=spec.dtype)
+    out = out.at[:, idx.reshape(-1)].add(ff.reshape(ff.shape[0], -1))
+    wsq = jnp.zeros((total,), dtype=spec.dtype)
+    wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(window * window, (num_frames,)))
+    out = out / (wsq[None, :] + eps)
+    if length is None:
+        length = (num_frames - 1) * hop
+    start = n_fft // 2
+    return out[:, start: start + length].reshape(lead + (length,))
 
 
 def istft(

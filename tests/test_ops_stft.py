@@ -92,3 +92,15 @@ def test_istft_default_length():
     spec = stft(jnp.zeros((1, 3200)), n_fft=N_FFT, hop=HOP)
     y = istft(spec, n_fft=N_FFT, hop=HOP)
     assert y.shape == (1, 3200)
+
+
+def test_matmul_dft_matches_fft():
+    from semi_tpu.ops.stft import istft_matmul, stft_matmul
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 3200)).astype(np.float32))
+    a, b = stft(x), stft_matmul(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    ya = istft(a, length=3200)
+    yb = istft_matmul(a, length=3200)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
