@@ -135,6 +135,56 @@ class TemporalConv2d(Module):
             return out, {"buffer": new_buffer}, feature
         return out, {"buffer": new_buffer}
 
+    def apply_stacked(self, params, state, x):
+        """Process ALL chunks at once with shifted-context ring buffers.
+
+        The per-chunk ring buffer holds the last ``time_pad`` input
+        frames of the previous chunk — which, over a stacked chunk axis,
+        is just a shift: ``ctx[n] = x[n-1][..., -pad:]`` (zeros/carried
+        buffer for n=0). This removes the chunk-serial dependency for
+        convolutions entirely; only recurrent layers remain sequential.
+        Exactly equivalent to chunk-by-chunk ``apply`` (state detach
+        included, since the context slice is stop_gradient'ed like the
+        stored buffer, CRN_ELU.py:243).
+
+        Args:
+            x: ``[N, B, C, F, T]`` stacked chunks.
+        Returns:
+            (y ``[N, B, C', F', T]``, new_state) — new_state holds the
+            last chunk's buffer so streaming can continue.
+        """
+        n, b, c, f, t = x.shape
+        if self.time_pad > 0:
+            prev_tail = self._chunk_context(state["buffer"], x)
+            inp = jnp.concatenate([prev_tail, x], axis=-1)
+            new_buffer = detach(inp[-1, ..., -self.time_pad:])
+        else:
+            inp = x
+            new_buffer = state["buffer"]
+        flat = inp.reshape((n * b,) + inp.shape[2:])
+        out = conv2d(
+            flat, params["conv"]["w"], params["conv"]["b"],
+            stride=self.stride, dilation=self.dilation,
+            padding=((self.freq_pad, self.freq_pad), (0, 0)),
+        )
+        out = self.act(out)
+        if self.gated:
+            out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * \
+                jax.nn.sigmoid(conv2d(out, params["gate"]["w"],
+                                      params["gate"]["b"]))
+        out, _ = self.norm.apply(params["norm"], {}, out)
+        out = out.reshape((n, b) + out.shape[1:])
+        return out, {"buffer": new_buffer}
+
+    def _chunk_context(self, buffer, x):
+        """[N, B, C, F, pad] context per chunk from the previous chunk."""
+        pad = self.time_pad
+        if x.shape[-1] < pad:
+            # never occurs with the reference geometry (T=21 > pad<=16)
+            raise NotImplementedError("chunk shorter than conv context")
+        prev = x[:-1, ..., -pad:]
+        return detach(jnp.concatenate([buffer[None], prev], axis=0))
+
 
 class TemporalConvTranspose2d(Module):
     def __init__(self, n_inputs, n_outputs, kernel_size, stride, dilation,

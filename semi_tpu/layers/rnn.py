@@ -68,6 +68,37 @@ def _lstm_layer(params, carry0, x):
     return ys.transpose(1, 0, 2), carry
 
 
+def _gru_layer_stacked(params, h0, x, detach_chunks=True):
+    """GRU layer over stacked chunks ``[N, B, T, F]``, carry detached at
+    chunk boundaries (the reference's per-call TBPTT truncation).
+
+    Input projections for ALL N*T frames run as one MXU matmul; only the
+    small recurrent matmul stays in the scan.
+    """
+    n, b, t, _ = x.shape
+    gi = jnp.einsum("nbtf,gf->nbtg", x, params["w_ih"]) + params["b_ih"]
+    w_hh, b_hh = params["w_hh"], params["b_hh"]
+
+    def cell(h, gi_t):
+        gh = h @ w_hh.T + b_hh
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        nn = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * nn + z * h
+        return h_new, h_new
+
+    def chunk_step(h, gi_chunk):  # gi_chunk: [B, T, 3H]
+        h, ys = jax.lax.scan(cell, h, gi_chunk.transpose(1, 0, 2))
+        if detach_chunks:
+            h = detach(h)
+        return h, ys.transpose(1, 0, 2)
+
+    h_last, ys = jax.lax.scan(chunk_step, h0, gi)
+    return ys, h_last
+
+
 class GRU(Module):
     """Multi-layer unidirectional GRU, state carried and detached per call."""
 
@@ -93,6 +124,15 @@ class GRU(Module):
         y = x
         for i in range(self.num_layers):
             y, h = _gru_layer(params[i], state["h"][i], y)
+            hs.append(h)
+        return y, {"h": detach(jnp.stack(hs))}
+
+    def apply_stacked(self, params, state, x):
+        """x: ``[N, B, T, F]`` stacked chunks; carry detached per chunk."""
+        hs = []
+        y = x
+        for i in range(self.num_layers):
+            y, h = _gru_layer_stacked(params[i], state["h"][i], y)
             hs.append(h)
         return y, {"h": detach(jnp.stack(hs))}
 
@@ -176,4 +216,40 @@ class SequenceModel(Module):
         y = y[:, 0].transpose(0, 2, 1)
         if return_feature:
             return y, new_state, feature
+        return y, new_state
+
+    def apply_stacked(self, params, state, x, use_pallas: bool = False):
+        """Stacked-chunk variant: x ``[N, B, F, T]`` -> ``[N, B, F_out, T]``.
+
+        Only the recurrent core is chunk-serial; the fc/activation run
+        batched over all frames and the GLN normalizes per chunk exactly
+        like per-call apply (time=False stats over one chunk).
+
+        ``use_pallas=True`` runs the whole recurrent sequence in ONE
+        fused TPU kernel (inference only: it does not truncate gradients
+        at chunk boundaries; 2-layer GRU only)."""
+        assert isinstance(self.rnn, GRU), "stacked path implemented for GRU"
+        n, b, f, t = x.shape
+        y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
+        if use_pallas and self.rnn.num_layers == 2:
+            from semi_tpu.ops.pallas.gru import gru2_chunk
+
+            p0, p1 = params["rnn"]
+            gi1 = jnp.einsum("nbtf,gf->nbtg", y, p0["w_ih"]) + p0["b_ih"]
+            gi1 = gi1.transpose(0, 2, 1, 3).reshape(n * t, b, -1)
+            ys, h_last = gru2_chunk(
+                gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T, p1["b_ih"],
+                p1["w_hh"].T, p1["b_hh"], state["h"])
+            y = ys.reshape(n, t, b, -1).transpose(0, 2, 1, 3)
+            new_state = {"h": h_last}
+        else:
+            y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
+        if self.linear:
+            y = y @ params["fc"]["w"].T + params["fc"]["b"]
+        if self.act is not None:
+            y = self.act(y)
+        # per-chunk GLN: fold N into batch, norm over (T, F)
+        flat = y.reshape(n * b, 1, t, y.shape[-1])
+        flat, _ = self.norm.apply(params["norm"], {}, flat)
+        y = flat.reshape(n, b, t, -1).transpose(0, 1, 3, 2)
         return y, new_state

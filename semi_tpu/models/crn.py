@@ -29,10 +29,13 @@ class TemporalCRN(StreamingModel):
     def __init__(self, num_channels, num_freqs, hidden, segment_length,
                  num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
                  sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
-                 activation="ELU", remat=True):
+                 activation="ELU", remat=True, use_pallas_gru=False):
         super().__init__(segment_length, num_freqs, sample_rate, win_length,
                          hop_length, n_fft, remat=remat)
         self.num_inputs = num_inputs
+        # inference-only: fused full-sequence GRU kernel (no per-chunk
+        # gradient truncation -> keep False for training)
+        self.use_pallas_gru = use_pallas_gru
         feat_ch = 2 * num_inputs - 1  # M magnitudes + (M-1) phase diffs
 
         # 3 frequency-dilated residual pre-convs (CRN_ELU.py:335-340)
@@ -131,6 +134,76 @@ class TemporalCRN(StreamingModel):
         er, ei = complex_mul(mask[..., 0], mask[..., 1], noisy[..., 0], noisy[..., 1])
         pred = jnp.stack([er, ei], axis=-1)
         return pred, {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+
+    # -- parallel (stacked-chunk) path -----------------------------------
+    def forward_stacked(self, params, state, x):
+        """All-chunks-at-once forward: x ``[N, B, M, F, T, 2]``.
+
+        Numerically identical to scanning :meth:`forward` over chunks
+        (verified in tests): convolutions use shifted-context ring
+        buffers across the stacked chunk axis, the GRU input/output
+        projections batch over all frames with only the recurrent core
+        chunk-serial, and the decoder (stateless) batches entirely.
+        ~95% of the wall time of the scan path was serial dispatch; this
+        removes it (SURVEY.md §5.7 TPU translation).
+        """
+        n, b, m, f, t, _ = x.shape
+        noisy = x[:, :, 0]  # [N, B, F, T, 2]
+        h = self.features(x.reshape((n * b,) + x.shape[2:]))
+        h = h.reshape((n, b) + h.shape[1:])  # [N, B, C, F, T]
+
+        new_pre = []
+        for mod, p, st in zip(self.preconvs, params["preconvs"],
+                              state["preconvs"]):
+            y, st2 = mod.apply_stacked(p, st, h)
+            h = y + h
+            new_pre.append(st2)
+
+        residuals = [h]
+        new_enc = []
+        for mod, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2 = mod.apply_stacked(p, st, h)
+            residuals.append(h)
+            new_enc.append(st2)
+
+        _, _, c, fb, tt = h.shape
+        h = h.reshape(n, b, c * fb, tt)
+        h, gru_state = self.gru.apply_stacked(params["gru"], state["gru"], h,
+                                              use_pallas=self.use_pallas_gru)
+        h = h.reshape(n * b, c, fb, tt)
+
+        idx = -2
+        for mod, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            res = residuals[idx]
+            h, _ = mod.apply(p, {}, h, res=res.reshape((n * b,) + res.shape[2:]))
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2)
+
+        mask = decompress_cirm(mask)
+        er, ei = complex_mul(mask[..., 0], mask[..., 1],
+                             noisy[..., 0], noisy[..., 1])
+        pred = jnp.stack([er, ei], axis=-1)  # [N, B, F, T, 2]
+        return pred, {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+
+    def realtime_process(self, params, state, mixture, flag: bool = False):
+        """Parallel stacked-chunk runtime (overrides the base scan)."""
+        b, m, _ = mixture.shape
+        if not flag:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def realtime_process_scan(self, params, state, mixture, flag: bool = False):
+        """The chunk-scan runtime (kept for equivalence testing)."""
+        return StreamingModel.realtime_process(self, params, state, mixture,
+                                               flag)
 
     # -- distillation support (reference: distillation_crn.py:337-477) ---
     def get_channel_num(self):

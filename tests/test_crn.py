@@ -108,3 +108,44 @@ def test_jit_and_grad(tiny):
     # gradient reaches the encoder convs (not blocked by state detach)
     g0 = np.asarray(grads["convs"][0]["conv"]["w"])
     assert np.abs(g0).max() > 0
+
+
+def test_parallel_equals_scan_runtime(tiny):
+    """The stacked-chunk (parallel) runtime == the chunk-scan runtime in
+    values, streaming state, and gradients."""
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 3, 6400)) * 0.1
+    y_scan, st_s = model.realtime_process_scan(params, None, x, flag=False)
+    y_par, st_p = model.realtime_process(params, None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_par), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(st_s), jax.tree.leaves(st_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    src = x[:, 0] * 0.8
+
+    def loss(fn):
+        def f(p):
+            yy, _ = fn(p, None, x, False)
+            return jnp.mean((yy - src) ** 2)
+        return f
+
+    g1 = jax.grad(loss(model.realtime_process_scan))(params)
+    g2 = jax.grad(loss(model.realtime_process))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_gru_kernel_interpret():
+    """Fused 2-layer GRU kernel == jnp reference (interpret mode)."""
+    from semi_tpu.ops.pallas.gru import gru2_chunk, gru2_chunk_reference
+
+    t, b, h = 42, 1, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    gi1 = jax.random.normal(ks[0], (t, b, 3 * h))
+    args = [gi1] + [jax.random.normal(k, s) * 0.1 for k, s in zip(ks[1:7], [
+        (h, 3 * h), (3 * h,), (h, 3 * h), (3 * h,), (h, 3 * h), (3 * h,)])]
+    h0 = jax.random.normal(ks[7], (2, b, h)) * 0.1
+    y_ref, h_ref = gru2_chunk_reference(*args, h0)
+    y, hf = gru2_chunk(*args, h0, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(h_ref), atol=1e-6)
