@@ -29,7 +29,8 @@ from semi_tpu.utils.config import load_config
 
 
 def predict(config_path: str, model_name: str, user_defined_name: str,
-            num_items: int | None = None, weights: str | None = None):
+            num_items: int | None = None, weights: str | None = None,
+            profile_dir: str | None = None):
     config = load_config(config_path)
     model = build_model(model_name, config[model_name])
     params = model.init(jax.random.PRNGKey(0))
@@ -61,6 +62,13 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
         mix = jnp.asarray(data["mix"])          # [1, M, L]
         src = np.asarray(data["source"][0, 0, 0])  # mic0 reverberant target
         noisy = np.asarray(data["mix"][0, 0])
+
+        # profiling hook (SURVEY.md §5.1: first-class tracing): capture a
+        # device trace of one representative utterance
+        if profile_dir and i == 1:
+            with jax.profiler.trace(profile_dir):
+                jax.block_until_ready(run(params, mix))
+            print(f"profiler trace written to {profile_dir}")
 
         t0 = time.perf_counter()
         pred = np.asarray(run(params, mix))[0]
@@ -106,6 +114,9 @@ if __name__ == "__main__":
                         help="Limit number of test items (default: full split)")
     parser.add_argument("--weights", default=None, type=str,
                         help="Explicit checkpoint path override")
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="Write a jax.profiler trace of one utterance")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
-            num_items=args.num_items, weights=args.weights)
+            num_items=args.num_items, weights=args.weights,
+            profile_dir=args.profile_dir)

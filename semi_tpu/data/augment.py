@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from semi_tpu.ops.resample import resample_poly
 
 __all__ = [
-    "compute_amplitude", "add_noise", "drop_freq", "drop_chunk", "do_clip",
-    "extend_noise", "speed_perturb", "notch_kernel",
+    "compute_amplitude", "add_noise", "add_reverb", "drop_freq", "drop_chunk",
+    "do_clip", "extend_noise", "speed_perturb", "notch_kernel",
 ]
 
 
@@ -181,6 +181,27 @@ def extend_noise(noise: np.ndarray, target_len: int, sr: int = 16000) -> np.ndar
         fade = out[len(out) - len(d_w):] * d_w + noise[: len(i_w)] * i_w
         out = np.concatenate([head, fade, noise[len(i_w):]])
     return out
+
+
+def add_reverb(key, x: jax.Array, rir: jax.Array, reverb_prob: float = 1.0):
+    """Convolve with a measured RIR, peak-aligned, amplitude-rescaled
+    (augment.py:131-180 / speechbrain reverberate, rescale_amp='avg').
+
+    x: [..., L]; rir: [R]. Not used in the reference's active path
+    (data_c.py:219-220 commented) but part of the augmenter inventory.
+    """
+    from semi_tpu.data.rir import fft_convolve
+
+    k_p = key
+    orig_amp = compute_amplitude(x)
+    # align the direct path: shift so the RIR peak hits lag zero
+    peak = jnp.argmax(jnp.abs(rir))
+    length = x.shape[-1]
+    wet = fft_convolve(x, rir[None] if x.ndim > 1 else rir)
+    wet = jnp.roll(wet, -peak, axis=-1)
+    wet = wet * (orig_amp / (compute_amplitude(wet) + 1e-14))
+    skip = jax.random.uniform(k_p, ()) > reverb_prob
+    return jnp.where(skip, x, wet[..., :length])
 
 
 SPEEDS = (90, 95, 105, 110)

@@ -131,6 +131,32 @@ def norm_wrapper(norm_type: str):
     }[norm_type]
 
 
+def apply_weight_init(params, key):
+    """Per-type re-init (fullsubnet.py:616-681, off by default): LSTM/GRU
+    input weights xavier-uniform, recurrent weights orthogonal, Linear
+    xavier-uniform, biases zero."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for i, (path, leaf) in enumerate(flat):
+        name = jax.tree_util.keystr(path)
+        k = jax.random.fold_in(key, i)
+        if leaf.ndim == 2 and "w_hh" in name:
+            # orthogonal init
+            a = jax.random.normal(k, (max(leaf.shape), max(leaf.shape)))
+            q, _ = jnp.linalg.qr(a)
+            out.append(q[: leaf.shape[0], : leaf.shape[1]].astype(leaf.dtype))
+        elif leaf.ndim == 2:
+            fan_in, fan_out = leaf.shape[1], leaf.shape[0]
+            bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+            out.append(jax.random.uniform(k, leaf.shape, leaf.dtype,
+                                          -bound, bound))
+        elif leaf.ndim == 1:
+            out.append(jnp.zeros_like(leaf))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def unfold_subband(x: jax.Array, num_neighbor: int) -> jax.Array:
     """Split overlapped sub-band units along freq (fullsubnet.py:299-331).
 
@@ -205,10 +231,14 @@ class FullSubNet(StreamingModel):
             sb_output_activate_function)
         self.norm_fb = CumLayerNorm()
         self.norm_sb = CumLayerNorm()
+        self.weight_init = weight_init
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
-        return {"fb": self.fb_model.init(k1), "sb": self.sb_model.init(k2)}
+        params = {"fb": self.fb_model.init(k1), "sb": self.sb_model.init(k2)}
+        if self.weight_init:
+            params = apply_weight_init(params, key)
+        return params
 
     def init_state(self, batch: int, dtype=jnp.float32):
         return {

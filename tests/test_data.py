@@ -165,3 +165,39 @@ def test_dataset_determinism(dataset):
     dataset.buffer = []
     b = dataset[0]
     np.testing.assert_allclose(a["mix"], b["mix"], atol=0)
+
+
+def test_add_reverb():
+    from semi_tpu.data.augment import add_reverb
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(8000).astype(np.float32))
+    rir = jnp.zeros(512).at[40].set(1.0).at[200].set(0.3)
+    y = add_reverb(jax.random.PRNGKey(0), x, rir, reverb_prob=1.0)
+    assert y.shape == x.shape
+    # peak alignment: direct path not delayed; amplitude preserved
+    amp_in = float(jnp.mean(jnp.abs(x)))
+    amp_out = float(jnp.mean(jnp.abs(y)))
+    assert abs(amp_out - amp_in) / amp_in < 0.05
+    # direct-path correlation is high at lag 0
+    c = np.corrcoef(np.asarray(x)[:4000], np.asarray(y)[:4000])[0, 1]
+    assert c > 0.8
+
+
+def test_fullsubnet_weight_init():
+    from semi_tpu.models.fullsubnet import FullSubNet
+
+    m = FullSubNet(num_freqs=201, look_ahead=0, sequence_model="LSTM",
+                   fb_num_neighbors=0, sb_num_neighbors=15,
+                   fb_output_activate_function="ReLU",
+                   sb_output_activate_function=False,
+                   fb_model_hidden_size=32, sb_model_hidden_size=16,
+                   num_mics=3, num_layers=1, weight_init=True,
+                   segment_length=3200)
+    params = m.init(jax.random.PRNGKey(0))
+    # orthogonal recurrent weights: columns orthonormal for tall [4H, H]
+    w = np.asarray(params["fb"]["rnn"][0]["w_hh"])  # [4H, H]
+    g = w.T @ w
+    np.testing.assert_allclose(g, np.eye(w.shape[1]), atol=1e-4)
+    # biases zeroed
+    assert float(np.abs(params["fb"]["fc"]["b"]).max()) == 0.0
