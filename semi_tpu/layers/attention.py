@@ -87,6 +87,60 @@ class MultiheadAttention(Module):
         y = y @ params["out"]["w"].T + params["out"]["b"]
         return y, {"k": detach(k), "v": detach(v)}
 
+    def apply_stacked(self, params, state, x):
+        """All chunks at once: x ``[N, B, T, F]``.
+
+        The drop-oldest KV cache over a stacked chunk axis is a sliding
+        window on the key timeline ``[initial_cache | k_0 .. k_{N-1}]``:
+        chunk n attends to timeline[(n+1)*T : (n+1)*T + maxlen]. K/V/Q
+        projections batch over all chunks; attention is one batched
+        einsum. Exactly equivalent to chunk-serial apply.
+        """
+        n, b, t, _ = x.shape
+        flat = x.reshape(n * b, t, -1)
+        q = self._split_heads(flat @ params["ql"]["w"].T + params["ql"]["b"])
+        k = self._split_heads(flat @ params["kl"]["w"].T + params["kl"]["b"])
+        v = self._split_heads(flat @ params["vl"]["w"].T + params["vl"]["b"])
+        hb = b * self.num_heads
+        # [N*B*H, T, d] -> [N, HB, T, d] (head-major within each chunk)
+        q = q.reshape(self.num_heads, n, b, t, -1).transpose(1, 0, 2, 3, 4) \
+            .reshape(n, hb, t, -1)
+        k = k.reshape(self.num_heads, n, b, t, -1).transpose(1, 0, 2, 3, 4) \
+            .reshape(n, hb, t, -1)
+        v = v.reshape(self.num_heads, n, b, t, -1).transpose(1, 0, 2, 3, 4) \
+            .reshape(n, hb, t, -1)
+
+        # key timeline [HB, maxlen + N*T, d]; chunk n's window starts at
+        # (n+1)*T and its LAST T entries are chunk n's own (live) keys —
+        # everything earlier is detached, matching the reference's
+        # detached cache (GTSA_original.py:186-198)
+        tl_k = jnp.concatenate(
+            [state["k"], k.transpose(1, 0, 2, 3).reshape(hb, n * t, -1)], axis=1)
+        tl_v = jnp.concatenate(
+            [state["v"], v.transpose(1, 0, 2, 3).reshape(hb, n * t, -1)], axis=1)
+        win = jnp.arange(n)[:, None] * t + t + \
+            jnp.arange(self.maxlen - t)[None, :]
+        kw_hist = detach(tl_k)[:, win].transpose(1, 0, 2, 3)  # [N, HB, maxlen-T, d]
+        vw_hist = detach(tl_v)[:, win].transpose(1, 0, 2, 3)
+        kw = jnp.concatenate([kw_hist, k], axis=2)  # [N, HB, maxlen, d]
+        vw = jnp.concatenate([vw_hist, v], axis=2)
+
+        delta2 = jnp.square(params["delta"]) + EPS
+        gauss = jnp.exp(self.ind[-t:] / delta2)  # [T, maxlen]
+        scores = jnp.abs(
+            jnp.einsum("nbtd,nbsd->nbts", q, kw) * gauss[None, None] / self.scale)
+        attn = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum("nbts,nbsd->nbtd", attn, vw)
+
+        # back to [N*B, T, F] with head merge
+        y = y.reshape(n, self.num_heads, b, t, -1).transpose(1, 0, 2, 3, 4) \
+            .reshape(self.num_heads * n * b, t, -1)
+        y = self._merge_heads(y, n * b)
+        y = y @ params["out"]["w"].T + params["out"]["b"]
+        new_state = {"k": detach(tl_k[:, -self.maxlen:]),
+                     "v": detach(tl_v[:, -self.maxlen:])}
+        return y.reshape(n, b, t, -1), new_state
+
 
 class TransformerLayer(Module):
     """Attention + FFN with per-chunk global layer norms (GTSA_original.py:206-242)."""
@@ -128,3 +182,18 @@ class TransformerLayer(Module):
         y = h @ params["lin_out"]["w"].T + params["lin_out"]["b"] + res
         y = self._norm3d(self.norm_i, params["norm_i"], y)
         return y.transpose(0, 2, 1), new_state
+
+    def apply_stacked(self, params, state, x):
+        """All chunks at once: x ``[N, B, F, T]`` (per-chunk norms fold
+        the chunk axis into batch)."""
+        n, b, f, t = x.shape
+        y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
+        a, new_state = self.attention.apply_stacked(params["attention"],
+                                                    state, y)
+        y = (a + y).reshape(n * b, t, f)
+        y = self._norm3d(self.norm_a, params["norm_a"], y)
+        res = y
+        h = jax.nn.relu(y @ params["lin_in"]["w"].T + params["lin_in"]["b"])
+        y = h @ params["lin_out"]["w"].T + params["lin_out"]["b"] + res
+        y = self._norm3d(self.norm_i, params["norm_i"], y)
+        return y.reshape(n, b, t, f).transpose(0, 1, 3, 2), new_state

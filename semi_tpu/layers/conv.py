@@ -303,3 +303,35 @@ class TemporalConv1d(Module):
         y = y[:, :, 0, :]
         new_buffer = detach(inp[..., -self.time_pad:]) if self.time_pad > 0 else state["buffer"]
         return y, {"buffer": new_buffer}
+
+    def apply_stacked(self, params, state, x):
+        """x: ``[N, B, C, T]`` stacked chunks (shifted-context buffers)."""
+        n, b, c, t = x.shape
+        pad = self.time_pad
+        if pad > 0:
+            prev = detach(jnp.concatenate(
+                [state["buffer"][None], x[:-1, ..., -pad:]], axis=0))
+            inp = jnp.concatenate([prev, x], axis=-1)
+            new_buffer = detach(inp[-1, ..., -pad:])
+        else:
+            inp = x
+            new_buffer = state["buffer"]
+        flat = inp.reshape(n * b, c, inp.shape[-1])
+        y = jax.lax.conv_general_dilated(
+            flat, params["conv"]["w"], (self.stride,), ((0, 0),),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + params["conv"]["b"][None, :, None]
+        if self.act is not None:
+            y = self.act(y)
+
+        def conv1x1(z, p):
+            return jax.lax.conv_general_dilated(
+                z, p["w"], window_strides=(1,), padding=((0, 0),),
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            ) + p["b"][None, :, None]
+
+        y = conv1x1(y, params["trans"]) * jax.nn.sigmoid(conv1x1(y, params["gate"]))
+        y, _ = self.norm.apply(params["norm"], {}, y[:, :, None, :])
+        y = y[:, :, 0, :].reshape(n, b, -1, t)
+        return y, {"buffer": new_buffer}

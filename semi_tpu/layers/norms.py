@@ -108,3 +108,23 @@ class CumLayerNorm(Module):
         new_step = jnp.minimum(state["step"] + 1, self.max_step)
         y = x / (g_mean + EPS)
         return y, {"mean": g_mean, "step": new_step}
+
+    def apply_stacked(self, params, state, x):
+        """Stacked-chunk variant: x ``[N, B, ...]``.
+
+        The running-mean recurrence is over per-chunk scalars, so it
+        runs as a tiny scan while the heavy division batches over all
+        chunks — exactly equivalent to per-chunk apply."""
+        axes = tuple(range(2, x.ndim))
+        means = jnp.mean(x, axis=axes, keepdims=True)  # [N, B, 1...]
+
+        def step_fn(carry, m):
+            g_prev, step = carry
+            alpha = step.astype(x.dtype) / (step.astype(x.dtype) + 1.0)
+            g = detach(alpha * g_prev + (1.0 - alpha) * m)
+            return (g, jnp.minimum(step + 1, self.max_step)), g
+
+        (g_last, step_last), g_means = jax.lax.scan(
+            step_fn, (state["mean"], state["step"]), means)
+        y = x / (g_means + EPS)
+        return y, {"mean": g_last, "step": step_last}

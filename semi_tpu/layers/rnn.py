@@ -137,6 +137,29 @@ class GRU(Module):
         return y, {"h": detach(jnp.stack(hs))}
 
 
+def _lstm_layer_stacked(params, carry0, x, detach_chunks=True):
+    """LSTM layer over stacked chunks ``[N, B, T, F]`` (see GRU variant)."""
+    gi = jnp.einsum("nbtf,gf->nbtg", x, params["w_ih"]) + params["b_ih"]
+    w_hh, b_hh = params["w_hh"], params["b_hh"]
+
+    def cell(carry, gi_t):
+        h, c = carry
+        g = gi_t + h @ w_hh.T + b_hh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    def chunk_step(carry, gi_chunk):
+        carry, ys = jax.lax.scan(cell, carry, gi_chunk.transpose(1, 0, 2))
+        if detach_chunks:
+            carry = detach(carry)
+        return carry, ys.transpose(1, 0, 2)
+
+    carry, ys = jax.lax.scan(chunk_step, carry0, gi)
+    return ys, carry
+
+
 class LSTM(Module):
     def __init__(self, input_size, hidden_size, num_layers):
         self.input_size = input_size
@@ -160,6 +183,17 @@ class LSTM(Module):
         y = x
         for i in range(self.num_layers):
             y, (h, c) = _lstm_layer(params[i], (state["h"][i], state["c"][i]), y)
+            hs.append(h)
+            cs.append(c)
+        return y, {"h": detach(jnp.stack(hs)), "c": detach(jnp.stack(cs))}
+
+    def apply_stacked(self, params, state, x):
+        """x: ``[N, B, T, F]`` stacked chunks; carry detached per chunk."""
+        hs, cs = [], []
+        y = x
+        for i in range(self.num_layers):
+            y, (h, c) = _lstm_layer_stacked(
+                params[i], (state["h"][i], state["c"][i]), y)
             hs.append(h)
             cs.append(c)
         return y, {"h": detach(jnp.stack(hs)), "c": detach(jnp.stack(cs))}
@@ -228,10 +262,9 @@ class SequenceModel(Module):
         ``use_pallas=True`` runs the whole recurrent sequence in ONE
         fused TPU kernel (inference only: it does not truncate gradients
         at chunk boundaries; 2-layer GRU only)."""
-        assert isinstance(self.rnn, GRU), "stacked path implemented for GRU"
         n, b, f, t = x.shape
         y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
-        if use_pallas and self.rnn.num_layers == 2:
+        if use_pallas and isinstance(self.rnn, GRU) and self.rnn.num_layers == 2:
             from semi_tpu.ops.pallas.gru import gru2_chunk
 
             p0, p1 = params["rnn"]

@@ -173,6 +173,89 @@ class GeneralBeamformer(StreamingModel):
         return pred, {"convs": new_conv, "gru_s": gs_state, "gru_n": gn_state}
 
 
+    def forward_stacked(self, params, state, x):
+        """All-chunks parallel forward: x ``[N, B, M, F, T, 2]``
+        (equivalent to scanning :meth:`forward`; convs use shifted-
+        context buffers, covariance GRUs batch their projections)."""
+        n, bb, m, f, t, _ = x.shape
+        noisy = x
+        flat_in = x.reshape((n * bb,) + x.shape[2:])
+        angle = jnp.arctan(flat_in[..., 1] / (flat_in[..., 0] + EPS) + EPS)
+        ipd = angle[:, :1] - angle[:, 1:]
+        mag = jnp.sqrt(flat_in[..., 0] ** 2 + flat_in[..., 1] ** 2 + 1e-10)
+        h = jnp.concatenate([mag, ipd], axis=1)
+        h = h.reshape((n, bb) + h.shape[1:])
+
+        residuals = [h]
+        new_conv = []
+        for c, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2 = c.apply_stacked(p, st, h)
+            residuals.append(h)
+            new_conv.append(st2)
+
+        h = h.reshape((n * bb,) + h.shape[2:])
+        idx = -2
+        for d, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            res = residuals[idx]
+            h, _ = d.apply(p, {}, h, res=res.reshape((n * bb,) + res.shape[2:]))
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+
+        filt = h.reshape(n * bb, 2, 2, m, 9, f * t)
+        s_f = jax.lax.complex(filt[:, 0, 0], filt[:, 0, 1])
+        n_f = jax.lax.complex(filt[:, 1, 0], filt[:, 1, 1])
+        plane = noisy.reshape(n * bb, m, f, t * 2)
+        unf = _unfold3x3(plane).reshape(n * bb, m, 9, f * t, 2)
+        y = jax.lax.complex(unf[..., 0], unf[..., 1])
+
+        s = jnp.sum(s_f * y, axis=2).transpose(0, 2, 1)[..., None]
+        nn = jnp.sum(n_f * y, axis=2).transpose(0, 2, 1)[..., None]
+        phi_s = (s @ jnp.conjugate(s).swapaxes(-1, -2)).real
+        phi_n = (nn @ jnp.conjugate(nn).swapaxes(-1, -2)).real
+        phi_s, _ = self.ln_s.apply(params["ln_s"], {}, phi_s)
+        phi_n, _ = self.ln_n.apply(params["ln_n"], {}, phi_n)
+
+        def to_gru(p):
+            # [N*B, FT, M, M] -> [N, B*F, M*M, T]
+            return p.reshape(n, bb, f, t, m, m).transpose(0, 1, 2, 4, 5, 3) \
+                .reshape(n, bb * f, m * m, t)
+
+        phi_s, gs_state = self.gru_s.apply_stacked(params["gru_s"],
+                                                   state["gru_s"], to_gru(phi_s))
+        phi_n, gn_state = self.gru_n.apply_stacked(params["gru_n"],
+                                                   state["gru_n"], to_gru(phi_n))
+        phi = (phi_s * phi_n).reshape(n, bb, f, m * m, t).swapaxes(3, 4)
+
+        lin = params["lin"]
+        w = jax.nn.relu(phi @ lin["w1"].T + lin["b1"])
+        w = w.reshape((n * bb,) + w.shape[2:])
+        w, _ = self.lin_norm.apply(lin["norm"], {}, w)
+        w = (w @ lin["w2"].T + lin["b2"]).reshape(n, bb, f, t, m, 2)
+
+        ny = noisy.transpose(0, 1, 3, 4, 2, 5)  # [N, B, F, T, M, 2]
+        real = w[..., 0] * ny[..., 0] - w[..., 1] * ny[..., 1]
+        imag = w[..., 0] * ny[..., 1] + w[..., 1] * ny[..., 0]
+        pred = jnp.sum(jnp.stack([real, imag], axis=-1), axis=-2)
+        return pred, {"convs": new_conv, "gru_s": gs_state, "gru_n": gn_state}
+
+    def realtime_process(self, params, state, mixture, flag: bool = False):
+        b, m, _ = mixture.shape
+        if not flag:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def realtime_process_scan(self, params, state, mixture, flag: bool = False):
+        return StreamingModel.realtime_process(self, params, state, mixture,
+                                               flag)
+
+
 class MVDRBeamformer:
     """Mask-based MVDR (fullsubnet.py:25-174) in native complex64."""
 

@@ -204,6 +204,16 @@ class _FSSequence(Module):
             y = self.act(y)
         return y.transpose(0, 2, 1), new_state
 
+    def apply_stacked(self, params, state, x):
+        """x: ``[N, B, F, T]`` stacked chunks (recurrent core chunk-serial,
+        projections batched)."""
+        y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
+        y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
+        y = y @ params["fc"]["w"].T + params["fc"]["b"]
+        if self.act is not None:
+            y = self.act(y)
+        return y.transpose(0, 1, 3, 2), new_state
+
 
 class FullSubNet(StreamingModel):
     def __init__(self, num_freqs, look_ahead, sequence_model,
@@ -295,6 +305,41 @@ class FullSubNet(StreamingModel):
                      "norm_fb": norm_fb_state, "norm_sb": norm_sb_state}
         return crm, new_state
 
+    def forward_stacked(self, params, state, x):
+        """All-chunks parallel forward: x ``[N, B, 2M, F, T]``.
+
+        Equivalent to the chunk-serial scan (eval mode): CumLayerNorms
+        run their per-chunk recurrences as tiny scans, LSTMs batch all
+        input/output projections with only the cell serial."""
+        n, bb, _, f, t = x.shape
+        m = self.num_mics
+        noisy = jnp.sqrt(x[:, :, :m] ** 2 + x[:, :, m:] ** 2 + EPS)
+
+        fb_in, norm_fb_state = self.norm_fb.apply_stacked(
+            {}, state["norm_fb"], noisy)
+        fb_in = fb_in.reshape(n, bb, m * f, t)
+        fb_out, fb_state = self.fb_model.apply_stacked(
+            params["fb"], state["fb"], fb_in)  # [N, B, F, T]
+
+        flat = fb_out.reshape(n * bb, 1, f, t)
+        fb_unf = unfold_subband(flat, self.fb_num_neighbors)
+        fb_unf = fb_unf.reshape(n, bb, f, self.fb_num_neighbors * 2 + 1, t)
+        noisy_flat = noisy.reshape(n * bb, m, f, t)[:, :1]
+        noisy_unf = unfold_subband(noisy_flat, self.sb_num_neighbors)
+        noisy_unf = noisy_unf.reshape(n, bb, f, self.sb_num_neighbors * 2 + 1, t)
+
+        sb_in = jnp.concatenate([noisy_unf, fb_unf], axis=3)  # [N, B, F, W, T]
+        sb_in, norm_sb_state = self.norm_sb.apply_stacked(
+            {}, state["norm_sb"], sb_in)
+        sb_in = sb_in.reshape(n, bb * f, sb_in.shape[3], t)
+
+        sb_mask, sb_state = self.sb_model.apply_stacked(
+            params["sb"], state["sb"], sb_in)
+        crm = sb_mask.reshape(n, bb, f, 2, t).transpose(0, 1, 3, 2, 4)
+        new_state = {"fb": fb_state, "sb": sb_state,
+                     "norm_fb": norm_fb_state, "norm_sb": norm_sb_state}
+        return crm, new_state
+
     def realtime_process(self, params, state, mixture, flag: bool = False,
                          source=None, train: bool = False):
         b, c, _ = mixture.shape
@@ -314,13 +359,9 @@ class FullSubNet(StreamingModel):
             crm_flat, state = self.forward(params, state, xf)
             pred_crm = crm_flat.reshape(b, 2, f, n, t).transpose(3, 0, 1, 2, 4)
         else:
-            def step(st, xc):
-                crm, st2 = self.forward(params, st, xc)
-                return st2, crm
-
-            if self.remat:
-                step = jax.checkpoint(step)
-            state, pred_crm = jax.lax.scan(step, state, x)  # [N, B, 2, F, T]
+            # chunk-semantics path, parallelized over stacked chunks
+            # (equivalent to scanning self.forward; see forward_stacked)
+            pred_crm, state = self.forward_stacked(params, state, x)
 
         crm = decompress_cirm(pred_crm)
         noisy_c = jnp.stack([x[:, :, 0], x[:, :, self.num_mics]], axis=2)

@@ -105,6 +105,64 @@ class GTSA(StreamingModel):
         pred = jnp.stack([er, ei], axis=-1)
         return pred, {"layers": new_states, "last_conv": conv_state}
 
+    def forward_stacked(self, params, state, x):
+        """All-chunks parallel forward: x ``[N, B, M, F, T, 2]``.
+
+        Per-layer parallelization: every transformer layer computes its
+        K/V/Q for all chunks at once and attends over sliding windows of
+        the key timeline (see MultiheadAttention.apply_stacked) — layers
+        are serial (6), chunks are not (N x layers in the scan path)."""
+        n, bb, m, f, t, _ = x.shape
+        noisy = x[:, :, 0]
+        flat = x.reshape((n * bb,) + x.shape[2:])
+        h = self.features(flat)  # [N*B, C, F, T]
+        c = h.shape[1]
+        h = h.reshape(n, bb, c * f, t)
+
+        new_states = []
+        for i, (mod, p, st) in enumerate(
+                zip(self.layers, params["layers"], state["layers"])):
+            if i % 2 == 0:
+                hi = h.reshape(n, bb * c, f, t)
+            else:
+                hi = h.reshape(n, bb, c, f, t).transpose(0, 1, 3, 2, 4) \
+                    .reshape(n, bb * f, c, t)
+            hi, st2 = mod.apply_stacked(p, st, hi)
+            new_states.append(st2)
+            if i % 2 == 0:
+                h = hi.reshape(n, bb, c * f, t)
+            else:
+                h = hi.reshape(n, bb, f, c, t).transpose(0, 1, 3, 2, 4) \
+                    .reshape(n, bb, c * f, t)
+
+        mask, conv_state = self.last_conv.apply_stacked(
+            params["last_conv"], state["last_conv"], h)
+        mask = mask.reshape(n, bb, 2, f, t).transpose(0, 1, 3, 4, 2)
+        mask = decompress_cirm(mask)
+        er, ei = complex_mul(mask[..., 0], mask[..., 1],
+                             noisy[..., 0], noisy[..., 1])
+        pred = jnp.stack([er, ei], axis=-1)
+        return pred, {"layers": new_states, "last_conv": conv_state}
+
+    def realtime_process(self, params, state, mixture, flag: bool = False):
+        b, m, _ = mixture.shape
+        if not flag:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def realtime_process_scan(self, params, state, mixture, flag: bool = False):
+        from semi_tpu.models.base import StreamingModel
+
+        return StreamingModel.realtime_process(self, params, state, mixture,
+                                               flag)
+
     def compute_loss(self, source, pred, length):
         from semi_tpu.metrics.losses import pesq_loss, si_snr
 
