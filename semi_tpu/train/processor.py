@@ -155,17 +155,28 @@ class Processor:
         self.dataset.buffer = []
         model_state = self.model.init_state(1)
 
+        # Metrics stay on device between logging boundaries — a host
+        # sync per item would serialize the async dispatch pipeline
+        # (the device link here has multi-ms round trips).
+        pending: list = []
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+
+        def drain():
+            for m in pending:
+                sums["loss"] += float(m["loss"])
+                sums["logmse"] += float(m["aux"])
+                sums["sisnr"] += float(m["sisnr"])
+            pending.clear()
+
         for i in range(len(self.dataset)):
             data = self.dataset[i]
             batch = self._batch_to_device(data)
             ts, model_state, metrics = self._train_fn(
                 ts, model_state, batch, bool(data["flag"]))
-            sums["loss"] += float(metrics["loss"])
-            sums["logmse"] += float(metrics["aux"])
-            sums["sisnr"] += float(metrics["sisnr"])
+            pending.append(metrics)
             self.train_step_count += 1
             if (i + 1) % avg_step == 0:
+                drain()
                 print(f"train, Epoch: {epoch}, Step: {self.train_step_count}\n"
                       f"loss: {sums['loss']/avg_step:.4f}, "
                       f"logmse: {sums['logmse']/avg_step:.4f}, "
@@ -175,6 +186,7 @@ class Processor:
                                            sums[name] / avg_step,
                                            self.train_step_count)
                     sums[name] = 0.0
+        drain()
         return ts
 
     def _run_epoch_dev(self, ts: TrainState, epoch: int, stage_name: str):
@@ -183,18 +195,21 @@ class Processor:
         self.dataset.buffer = []
         model_state = self.model.init_state(1)
 
-        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        pending = []
         count = 0
         for i in range(len(self.dataset)):
             data = self.dataset[i]
             batch = self._batch_to_device(data)
             model_state, metrics, _ = self._eval_fn(
                 ts.params, model_state, batch, bool(data["flag"]))
-            sums["loss"] += float(metrics["loss"])
-            sums["logmse"] += float(metrics["aux"])
-            sums["sisnr"] += float(metrics["sisnr"])
+            pending.append(metrics)
             count += 1
             self.dev_step_count += 1
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        for m in pending:
+            sums["loss"] += float(m["loss"])
+            sums["logmse"] += float(m["aux"])
+            sums["sisnr"] += float(m["sisnr"])
 
         dev_loss = sums["loss"] / max(count, 1)
         for name in ("loss", "logmse", "sisnr"):
