@@ -114,6 +114,24 @@ class GanTemporalConv2d(Module):
                       ((self.freq_pad, self.freq_pad), (0, 0)))
         return self.act(y) * jax.nn.sigmoid(y), new_state
 
+    def apply_stacked(self, params, state, x):
+        """x: ``[N, B, C, F, T]`` stacked chunks with shifted-context
+        buffers (see TemporalConv2d.apply_stacked)."""
+        n, b = x.shape[:2]
+        if self.time_pad > 0:
+            ctx = detach(jnp.concatenate(
+                [state["buffer"][None], x[:-1, ..., -self.time_pad:]], axis=0))
+            inp = jnp.concatenate([ctx, x], axis=-1)
+            new_state = {"buffer": detach(inp[-1, ..., -self.time_pad:])}
+        else:
+            inp = x
+            new_state = state
+        flat = inp.reshape((n * b,) + inp.shape[2:])
+        y = wn_conv2d(flat, params, self.stride, self.dilation,
+                      ((self.freq_pad, self.freq_pad), (0, 0)))
+        y = self.act(y) * jax.nn.sigmoid(y)
+        return y.reshape((n, b) + y.shape[1:]), new_state
+
 
 class GanTemporalConvTranspose2d(Module):
     """Self-gated weight-norm deconv with tanh-gated skip fusion
@@ -262,9 +280,70 @@ class Generator(StreamingModel):
             h, _ = m.apply(p, {}, h)
         return apply_mask(h), pre, new_state
 
+    def forward_stacked(self, params, state, x, post: bool = True):
+        """All-chunks parallel forward: x ``[N, B, M, F, T, 2]``."""
+        n, bb, m, f, t, _ = x.shape
+        noisy = x[:, :, 0]
+        flat = x.reshape((n * bb,) + x.shape[2:])
+        h = self.features(flat).reshape(n, bb, -1, f, t)
+
+        residuals = [h]
+        new_conv = []
+        for mod, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2 = mod.apply_stacked(p, st, h)
+            residuals.append(h)
+            new_conv.append(st2)
+
+        _, _, c, fb, tt = h.shape
+        h = h.reshape(n, bb, c * fb, tt)
+        h, gru_state = self.gru.apply_stacked(params["gru"], state["gru"], h)
+        h = h.reshape(n * bb, c, fb, tt)
+
+        idx = -2
+        for mod, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            res = residuals[idx]
+            h, _ = mod.apply(p, {}, h, res=res.reshape((n * bb,) + res.shape[2:]))
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+
+        def apply_mask(mask_cft):
+            mask = decompress_cirm(
+                mask_cft.reshape(n, bb, 2, f, t).transpose(0, 1, 3, 4, 2))
+            er, ei = complex_mul(mask[..., 0], mask[..., 1],
+                                 noisy[..., 0], noisy[..., 1])
+            return jnp.stack([er, ei], axis=-1)
+
+        new_state = {"convs": new_conv, "gru": gru_state}
+        if not post:
+            pred = apply_mask(h)
+            return pred, jnp.zeros_like(pred), new_state
+        pre = apply_mask(h)
+        for mod, p in zip(self.postnet, params["postnet"]):
+            h, _ = mod.apply(p, {}, h)
+        return apply_mask(h), pre, new_state
+
     def realtime_process(self, params, state, mixture, post: bool = True,
                          reset: bool = False):
-        """Returns (post_wav, pre_wav, state) (hifigan.py:615-656)."""
+        """Returns (post_wav, pre_wav, state) (hifigan.py:615-656).
+        Uses the parallel stacked-chunk forward."""
+        b, m, _ = mixture.shape
+        if reset:
+            pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
+            mixture = jnp.concatenate([pad, mixture], axis=-1)
+            state = self.init_state(b, mixture.dtype)
+
+        x, gap = self.preprocessing(mixture)
+        posts, pres, state = self.forward_stacked(params, state, x, post=post)
+        wav_post = self.postprocessing(posts, gap)
+        wav_pre = self.postprocessing(pres, gap)
+        if reset:
+            wav_post = wav_post[..., self.segment_length // 2:]
+            wav_pre = wav_pre[..., self.segment_length // 2:]
+        return wav_post, wav_pre, state
+
+    def realtime_process_scan(self, params, state, mixture, post: bool = True,
+                              reset: bool = False):
+        """Chunk-scan runtime (kept for equivalence testing)."""
         b, m, _ = mixture.shape
         if reset:
             pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)

@@ -90,3 +90,21 @@ def test_gtsa_stacked_gradients_match():
     g2 = jax.grad(loss(m.realtime_process))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hifigan_generator_stacked_equals_scan():
+    from semi_tpu.models.hifigan import Generator
+
+    m = Generator(num_channels=[4, 8, 8, 8], num_freqs=201, hidden=16,
+                  segment_length=3200, num_layers=1, num_inputs=3,
+                  kernel_size=3)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+    a_post, a_pre, st_s = m.realtime_process_scan(params, None, x, post=True,
+                                                  reset=True)
+    b_post, b_pre, st_p = m.realtime_process(params, None, x, post=True,
+                                             reset=True)
+    np.testing.assert_allclose(np.asarray(b_post), np.asarray(a_post), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(b_pre), np.asarray(a_pre), atol=ATOL)
+    for a, b in zip(jax.tree.leaves(st_s), jax.tree.leaves(st_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL)
