@@ -30,7 +30,7 @@ from semi_tpu.utils.config import load_config
 
 def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
-            profile_dir: str | None = None):
+            profile_dir: str | None = None, dump_dir: str | None = None):
     config = load_config(config_path)
     model = build_model(model_name, config[model_name])
     params = model.init(jax.random.PRNGKey(0))
@@ -73,6 +73,14 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
         t0 = time.perf_counter()
         pred = np.asarray(run(params, mix))[0]
         dt = time.perf_counter() - t0
+
+        if dump_dir:
+            from semi_tpu.data.wav import write_wav
+
+            os.makedirs(dump_dir, exist_ok=True)
+            write_wav(os.path.join(dump_dir, f"{i}_enhanced.wav"), pred)
+            write_wav(os.path.join(dump_dir, f"{i}_noisy.wav"), noisy)
+            write_wav(os.path.join(dump_dir, f"{i}_ref.wav"), src)
         rtf_acc += dt * 16000.0 / mix.shape[-1]
 
         m_after = {
@@ -116,7 +124,9 @@ if __name__ == "__main__":
                         help="Explicit checkpoint path override")
     parser.add_argument("--profile_dir", default=None, type=str,
                         help="Write a jax.profiler trace of one utterance")
+    parser.add_argument("--dump_dir", default=None, type=str,
+                        help="Write enhanced/noisy/ref wavs per item")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
-            profile_dir=args.profile_dir)
+            profile_dir=args.profile_dir, dump_dir=args.dump_dir)
