@@ -51,12 +51,9 @@ def main():
         student = dequantize_tree(q)
         print("int8 weight quantization applied to the student")
 
-    from predict import predict  # reuse the generic harness internals
-    import predict as predict_mod
-
-    # run the generic loop with the student model + weights
-    import jax.numpy as jnp
     import time
+
+    import jax.numpy as jnp
 
     from semi_tpu.data.dataset import LibriPartyDataset
     from semi_tpu.metrics.eval import si_sdr, stoi, wb_pesq
