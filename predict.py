@@ -55,13 +55,18 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
     sums = {k: 0.0 for k in
             ("d_sisdr", "b_sisdr", "a_sisdr", "d_stoi", "b_stoi", "a_stoi",
              "d_pesq", "b_pesq", "a_pesq")}
-    rtf_acc, count = 0.0, 0
+    rtf_acc, count, rtf_count = 0.0, 0, 0
+    seen_lengths: set = set()
 
     for i in range(total):
         data = dataset[i]
         mix = jnp.asarray(data["mix"])          # [1, M, L]
         src = np.asarray(data["source"][0, 0, 0])  # mic0 reverberant target
         noisy = np.asarray(data["mix"][0, 0])
+
+        # first occurrence of a length compiles; exclude it from RTF
+        warm = mix.shape[-1] in seen_lengths
+        seen_lengths.add(mix.shape[-1])
 
         # profiling hook (SURVEY.md §5.1: first-class tracing): capture a
         # device trace of one representative utterance
@@ -73,6 +78,9 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
         t0 = time.perf_counter()
         pred = np.asarray(run(params, mix))[0]
         dt = time.perf_counter() - t0
+        if warm:
+            rtf_acc += dt * 16000.0 / mix.shape[-1]
+            rtf_count += 1
 
         if dump_dir:
             from semi_tpu.data.wav import write_wav
@@ -81,7 +89,6 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             write_wav(os.path.join(dump_dir, f"{i}_enhanced.wav"), pred)
             write_wav(os.path.join(dump_dir, f"{i}_noisy.wav"), noisy)
             write_wav(os.path.join(dump_dir, f"{i}_ref.wav"), src)
-        rtf_acc += dt * 16000.0 / mix.shape[-1]
 
         m_after = {
             "sisdr": si_sdr(src, pred),
@@ -99,7 +106,7 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             sums[f"a_{k}"] += m_after[k]
             sums[f"d_{k}"] += m_after[k] - m_before[k]
 
-        print(f"[{i+1}/{total}] RTF={rtf_acc/count:.4f} "
+        print(f"[{i+1}/{total}] RTF={rtf_acc/max(rtf_count,1):.4f} "
               f"SI-SDR {sums['b_sisdr']/count:+.2f} -> {sums['a_sisdr']/count:+.2f} "
               f"(d {sums['d_sisdr']/count:+.2f}) | "
               f"STOI {sums['b_stoi']/count:.4f} -> {sums['a_stoi']/count:.4f} "
@@ -107,10 +114,11 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
               f"PESQ~ {sums['b_pesq']/count:.3f} -> {sums['a_pesq']/count:.3f} "
               f"(d {sums['d_pesq']/count:+.3f})", flush=True)
 
-    print(f"\nFinal over {count} items: RTF={rtf_acc/max(count,1):.4f} "
-          f"({1.0/(rtf_acc/max(count,1)):.1f}x real-time)")
+    rtf = rtf_acc / max(rtf_count, 1)
+    print(f"\nFinal over {count} items ({rtf_count} timed, compile excluded): "
+          f"RTF={rtf:.4f} ({1.0/max(rtf,1e-9):.1f}x real-time)")
     return {k: v / max(count, 1) for k, v in sums.items()} | {
-        "rtf": rtf_acc / max(count, 1)}
+        "rtf": rtf_acc / max(rtf_count, 1)}
 
 
 if __name__ == "__main__":
