@@ -10,6 +10,10 @@ Run standalone (one TPU process at a time):
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import jax
