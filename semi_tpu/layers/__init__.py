@@ -10,6 +10,12 @@ from semi_tpu.layers.conv import (
 from semi_tpu.layers.rnn import GRU, LSTM, SequenceModel
 from semi_tpu.layers.attention import MultiheadAttention, TransformerLayer
 from semi_tpu.layers.linear_t import LinearT
+from semi_tpu.layers.complex import (
+    ComplexGlobalLayerNorm,
+    ComplexSequenceModel,
+    ComplexTemporalConv2d,
+    ComplexTemporalConvTranspose2d,
+)
 
 __all__ = [
     "Module",
@@ -27,4 +33,8 @@ __all__ = [
     "MultiheadAttention",
     "TransformerLayer",
     "LinearT",
+    "ComplexGlobalLayerNorm",
+    "ComplexSequenceModel",
+    "ComplexTemporalConv2d",
+    "ComplexTemporalConvTranspose2d",
 ]
