@@ -135,7 +135,7 @@ class TemporalConv2d(Module):
             return out, {"buffer": new_buffer}, feature
         return out, {"buffer": new_buffer}
 
-    def apply_stacked(self, params, state, x):
+    def apply_stacked(self, params, state, x, return_feature: bool = False):
         """Process ALL chunks at once with shifted-context ring buffers.
 
         The per-chunk ring buffer holds the last ``time_pad`` input
@@ -151,7 +151,9 @@ class TemporalConv2d(Module):
             x: ``[N, B, C, F, T]`` stacked chunks.
         Returns:
             (y ``[N, B, C', F', T]``, new_state) — new_state holds the
-            last chunk's buffer so streaming can continue.
+            last chunk's buffer so streaming can continue. With
+            ``return_feature`` also the pre-activation conv output
+            ``[N*B, C', F', T]`` (distillation tap).
         """
         n, b, c, f, t = x.shape
         if self.time_pad > 0:
@@ -162,18 +164,20 @@ class TemporalConv2d(Module):
             inp = x
             new_buffer = state["buffer"]
         flat = inp.reshape((n * b,) + inp.shape[2:])
-        out = conv2d(
+        feature = conv2d(
             flat, params["conv"]["w"], params["conv"]["b"],
             stride=self.stride, dilation=self.dilation,
             padding=((self.freq_pad, self.freq_pad), (0, 0)),
         )
-        out = self.act(out)
+        out = self.act(feature)
         if self.gated:
             out = conv2d(out, params["trans"]["w"], params["trans"]["b"]) * \
                 jax.nn.sigmoid(conv2d(out, params["gate"]["w"],
                                       params["gate"]["b"]))
         out, _ = self.norm.apply(params["norm"], {}, out)
         out = out.reshape((n, b) + out.shape[1:])
+        if return_feature:
+            return out, {"buffer": new_buffer}, feature
         return out, {"buffer": new_buffer}
 
     def _chunk_context(self, buffer, x):

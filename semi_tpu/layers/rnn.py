@@ -252,7 +252,8 @@ class SequenceModel(Module):
             return y, new_state, feature
         return y, new_state
 
-    def apply_stacked(self, params, state, x, use_pallas: bool = False):
+    def apply_stacked(self, params, state, x, use_pallas: bool = False,
+                      return_feature: bool = False):
         """Stacked-chunk variant: x ``[N, B, F, T]`` -> ``[N, B, F_out, T]``.
 
         Only the recurrent core is chunk-serial; the fc/activation run
@@ -279,10 +280,13 @@ class SequenceModel(Module):
             y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
         if self.linear:
             y = y @ params["fc"]["w"].T + params["fc"]["b"]
+        feature = y  # pre-activation fc output [N, B, T, F_out]
         if self.act is not None:
             y = self.act(y)
         # per-chunk GLN: fold N into batch, norm over (T, F)
         flat = y.reshape(n * b, 1, t, y.shape[-1])
         flat, _ = self.norm.apply(params["norm"], {}, flat)
         y = flat.reshape(n, b, t, -1).transpose(0, 1, 3, 2)
+        if return_feature:
+            return y, new_state, feature
         return y, new_state

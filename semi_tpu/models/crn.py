@@ -256,10 +256,66 @@ class TemporalCRN(StreamingModel):
         new_state = {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
         return pred, feats, new_state
 
+    def forward_stacked_with_features(self, params, state, x):
+        """Stacked-chunk forward that also returns the 5 distillation taps
+        with the chunk axis folded into batch: list of ``[N*B, Ck, Fk, T]``
+        (the layout the distillation loss consumes, distillation_crn.py:463).
+        """
+        n, b, m, f, t, _ = x.shape
+        noisy = x[:, :, 0]
+        h = self.features(x.reshape((n * b,) + x.shape[2:]))
+        h = h.reshape((n, b) + h.shape[1:])
+
+        new_pre = []
+        for mod, p, st in zip(self.preconvs, params["preconvs"],
+                              state["preconvs"]):
+            y, st2 = mod.apply_stacked(p, st, h)
+            h = y + h
+            new_pre.append(st2)
+
+        residuals = [h]
+        new_enc = []
+        feats = []
+        ft = None
+        for mod, p, st in zip(self.convs, params["convs"], state["convs"]):
+            h, st2, ft = mod.apply_stacked(p, st, h, return_feature=True)
+            residuals.append(h)
+            new_enc.append(st2)
+        feats.append(ft)  # last encoder tap only (distillation_crn.py:352-358)
+
+        _, _, c, fb, tt = h.shape
+        h = h.reshape(n, b, c * fb, tt)
+        h, gru_state, gru_ft = self.gru.apply_stacked(
+            params["gru"], state["gru"], h, return_feature=True)
+        h = h.reshape(n * b, c, fb, tt)
+        # reference reshapes the [B, T, C*F] tap straight to [B, C, F, T]
+        # (distillation_crn.py:361-365) — kept verbatim per chunk
+        feats.append(gru_ft.reshape(n * b, c, fb, tt))
+
+        idx = -2
+        for mod, p in zip(self.deconvs[:-1], params["deconvs"][:-1]):
+            res = residuals[idx]
+            h, _, ft = mod.apply(p, {}, h,
+                                 res=res.reshape((n * b,) + res.shape[2:]),
+                                 return_feature=True)
+            feats.append(ft)
+            idx -= 1
+        h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
+        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2)
+
+        mask = decompress_cirm(mask)
+        er, ei = complex_mul(mask[..., 0], mask[..., 1],
+                             noisy[..., 0], noisy[..., 1])
+        pred = jnp.stack([er, ei], axis=-1)
+        new_state = {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+        return pred, feats, new_state
+
     def realtime_process_with_features(self, params, state, mixture,
                                        flag: bool = False):
         """Like realtime_process but also returns per-tap features with the
-        chunk axis folded into batch: list of [N*B, Ck, Fk, T]."""
+        chunk axis folded into batch: list of [N*B, Ck, Fk, T]. Uses the
+        stacked-chunk path (also sidesteps an XLA TPU backward-of-scan
+        shape bug the chunk-serial variant triggers)."""
         b, m, _ = mixture.shape
         if not flag:
             pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
@@ -267,17 +323,9 @@ class TemporalCRN(StreamingModel):
             state = self.init_state(b, mixture.dtype)
 
         x, gap = self.preprocessing(mixture)
-
-        def step(st, xc):
-            pred, feats, st2 = self.forward_with_features(params, st, xc)
-            return st2, (pred, tuple(feats))
-
-        if self.remat:
-            step = jax.checkpoint(step)
-        state, (preds, feats) = jax.lax.scan(step, state, x)
-
+        preds, feats, state = self.forward_stacked_with_features(
+            params, state, x)
         wav = self.postprocessing(preds, gap)
         if not flag:
             wav = wav[..., self.segment_length // 2:]
-        feats = [f.reshape((-1,) + f.shape[2:]) for f in feats]  # [N*B, ...]
         return wav, feats, state

@@ -126,9 +126,13 @@ class Processor:
 
         self.writer = ScalarWriter(self._log_dir(stage_name),
                                    purge_step=self.train_step_count)
+        # NOTE: no donate_argnums — donating the TrainState trips a TPU
+        # backend InvalidArgument at execution for large multi-network
+        # programs (observed with DistillationCRN); at <10M params the
+        # copy it would save is negligible.
         self._train_fn = jax.jit(
             make_train_step(self.model, accum, max_grad_norm),
-            static_argnums=3, donate_argnums=(0,))
+            static_argnums=3)
         self._eval_fn = jax.jit(make_eval_step(self.model), static_argnums=3)
 
         for epoch in range(self.epoch + 1, num_epoch):
