@@ -92,9 +92,19 @@ class GanProcessor:
                 post=True, reset=not flag)
             return y_hat
 
+        def dev_step(params, model_state, batch, flag: bool):
+            loss, y_hat, new_ms = model.stage_g_loss(
+                params, model_state, batch["mix"], batch["source"], stage, flag)
+            if stage == 3:
+                d_loss = model.stage_d_loss(params, y_hat, batch["source"])
+            else:
+                d_loss = jnp.zeros(())
+            return new_ms, loss, d_loss
+
         return (jax.jit(g_step, static_argnums=5, donate_argnums=(0, 1)),
                 jax.jit(d_step, donate_argnums=(0, 1)),
-                jax.jit(gen_forward, static_argnums=3))
+                jax.jit(gen_forward, static_argnums=3),
+                jax.jit(dev_step, static_argnums=3))
 
     def train(self, stage: int = 1, resume: bool = False,
               load_model: bool = False) -> None:
@@ -122,8 +132,8 @@ class GanProcessor:
             self.epoch = counters["Epoch"]
             self.train_step_count = counters["Train_Step"]
 
-        g_step, d_step, gen_forward = self._make_steps(stage, lr, n_warm,
-                                                       max_norm)
+        g_step, d_step, gen_forward, dev_step = self._make_steps(
+            stage, lr, n_warm, max_norm)
         writer = ScalarWriter(os.path.join(
             self.config["config"]["log_dir"], f"stage{stage}",
             self.config["user_defined_name"]), purge_step=self.train_step_count)
@@ -167,10 +177,32 @@ class GanProcessor:
                           + (f" d={d_sum/n:.4f}" if stage == 3 else ""),
                           flush=True)
 
+            # dev pass: stage losses without updates (Hifi-GAN/train.py:231-236)
+            self.dataset.set_attribute("dev", augment=stage >= 2)
+            self.dataset.init_seed(epoch + 1)
+            self.dataset.buffer = []
+            dev_ms = self.model.init_state(1)
+            dev_g, dev_d, dev_n = 0.0, 0.0, 0
+            for i in range(len(self.dataset)):
+                data = self.dataset[i]
+                batch = {"mix": jnp.asarray(data["mix"]),
+                         "source": jnp.asarray(data["source"][:, 0, 0])}
+                dev_ms, gl, dl = dev_step(params, dev_ms, batch,
+                                          bool(data["flag"]))
+                dev_g += float(gl)
+                dev_d += float(dl)
+                dev_n += 1
+            writer.add_scalar("dev_loss/g_loss", dev_g / max(dev_n, 1),
+                              self.train_step_count)
+            if stage == 3:
+                writer.add_scalar("dev_loss/d_loss", dev_d / max(dev_n, 1),
+                                  self.train_step_count)
+
             d = self._stage_dir(stage)
             os.makedirs(d, exist_ok=True)
             save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
             save_counters(os.path.join(d, "Epoch.json"), self.epoch,
-                          self.train_step_count, 0, g_sum / max(n, 1))
+                          self.train_step_count, dev_n,
+                          dev_g / max(dev_n, 1))
             writer.flush()
         self._final_params = params
