@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from semi_tpu.ops.segment import over_add, segmentation
-from semi_tpu.ops.stft import StftConfig, istft, stft
+from semi_tpu.ops.stft import StftConfig, istft_matmul as istft, stft_matmul as stft
 
 __all__ = ["StreamingModel"]
 
@@ -58,6 +58,9 @@ class StreamingModel:
         raise NotImplementedError
 
     # -- chunk pre/post-processing ------------------------------------
+    # The rFFT/irFFT run as MXU matmul DFTs (exact; the 400-point
+    # transform over many small frames beats XLA's generic FFT — the
+    # iSTFT by ~4x on v5e; see docs/BENCHMARKS.md).
     def preprocessing(self, mixture: jax.Array):
         """``[B, M, L]`` -> (``[N, B, M, F, T, 2]`` chunk spectra, gap)."""
         b = mixture.shape[0]

@@ -34,7 +34,7 @@ from semi_tpu.layers.rnn import GRU, LSTM
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 from semi_tpu.ops.segment import segmentation
-from semi_tpu.ops.stft import stft
+from semi_tpu.ops.stft import stft_matmul as stft
 
 EPS = 1e-8
 
