@@ -162,3 +162,16 @@ def bss_sdr(reference: np.ndarray, estimation: np.ndarray,
     e = estimation - s_target
     return float(10 * np.log10(
         (np.sum(s_target ** 2) + 1e-12) / (np.sum(e ** 2) + 1e-12)))
+
+
+def compute_snr(estimation: np.ndarray, origin: np.ndarray,
+                eps: float = 1e-8) -> float:
+    """Scale-invariant SNR of a mixture against its source (data_c.py:136-153)."""
+    estimation = estimation - np.mean(estimation)
+    origin = origin - np.mean(origin)
+    power = np.sum(origin ** 2) + eps
+    scale = np.sum(origin * estimation) / power
+    true = scale * origin
+    res = estimation - true
+    return float(10 * np.log10(np.sum(true ** 2) + eps) -
+                 10 * np.log10(np.sum(res ** 2) + eps))

@@ -67,3 +67,40 @@ def reorder_source(source: jax.Array, perms: jax.Array,
 def pit_si_snr_loss(separated, source, length):
     max_snr, perms, idx = cal_si_snr_with_pit(separated, source, length)
     return -jnp.mean(max_snr), perms, idx
+
+
+def calc_sdr(estimation: jax.Array, origin: jax.Array, mask=None) -> jax.Array:
+    """Batch scale-invariant SDR (utility.py:66-97). Inputs ``[B, T]``."""
+    estimation = estimation - jnp.mean(estimation, 1, keepdims=True)
+    origin = origin - jnp.mean(origin, 1, keepdims=True)
+    if mask is not None:
+        estimation = estimation * mask
+        origin = origin * mask
+    power = jnp.sum(origin ** 2, 1, keepdims=True) + EPS
+    scale = jnp.sum(origin * estimation, 1, keepdims=True) / power
+    true = scale * origin
+    res = estimation - true
+    return 10 * jnp.log10(jnp.sum(true ** 2, 1) + EPS) - \
+        10 * jnp.log10(jnp.sum(res ** 2, 1) + EPS)
+
+
+def batch_sdr(estimation: jax.Array, origin: jax.Array, mask=None,
+              return_perm: bool = False):
+    """Permutation-search SDR over sources (utility.py:100-145).
+
+    estimation/origin: ``[B, S, T]``; returns best mean SDR ``[B]``
+    (and the best permutation index when ``return_perm``).
+    """
+    b, s, _ = estimation.shape
+    est = estimation - jnp.mean(estimation, 2, keepdims=True)
+    ori = origin - jnp.mean(origin, 2, keepdims=True)
+    pair = jnp.stack([
+        jnp.stack([calc_sdr(est[:, i], ori[:, j], mask) for j in range(s)], 1)
+        for i in range(s)], 1)  # [B, S, S]
+    perms = sorted(set(permutations(range(s))))
+    scores = jnp.stack([
+        sum(pair[:, idx, p[idx]] for idx in range(s)) for p in perms], 1)
+    best = jnp.max(scores, 1) / s
+    if return_perm:
+        return best, jnp.argmax(scores, 1)
+    return best

@@ -84,7 +84,7 @@ class Processor:
 
     # -- checkpointing (reference train.py:77-126) -----------------------
     def save_modules(self, stage_name: str, ts: TrainState,
-                     save_weights: bool) -> None:
+                     save_weights: bool, step_in_epoch: int = 0) -> None:
         d = self._stage_dir(stage_name)
         os.makedirs(d, exist_ok=True)
         if save_weights:
@@ -95,6 +95,14 @@ class Processor:
                      "step": ts.step})
         save_counters(os.path.join(d, "Epoch.json"), self.epoch,
                       self.train_step_count, self.dev_step_count, self.last_loss)
+        if step_in_epoch:
+            # step-level checkpoint (SURVEY §5.3): enough to restart a
+            # crashed run mid-epoch — weights always included
+            save_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
+            import json
+
+            with open(os.path.join(d, "Step.json"), "w") as f:
+                json.dump({"Step_In_Epoch": step_in_epoch}, f)
 
     def load_modules(self, stage_name: str, ts: TrainState) -> TrainState:
         d = self._stage_dir(stage_name)
@@ -135,9 +143,24 @@ class Processor:
             static_argnums=3)
         self._eval_fn = jax.jit(make_eval_step(self.model), static_argnums=3)
 
-        for epoch in range(self.epoch + 1, num_epoch):
+        # mid-epoch restart: Step.json marks a partial epoch to continue
+        start_epoch = self.epoch + 1
+        start_index = 0
+        step_file = os.path.join(self._stage_dir(stage_name), "Step.json")
+        if resume and os.path.exists(step_file):
+            import json
+
+            with open(step_file) as f:
+                start_index = json.load(f).get("Step_In_Epoch", 0)
+            start_epoch = self.epoch  # re-enter the partial epoch
+            print(f"resuming mid-epoch {start_epoch} at item {start_index}")
+
+        for epoch in range(start_epoch, num_epoch):
             self.epoch = epoch
-            ts = self._run_epoch(ts, "train", epoch)
+            ts = self._run_epoch(ts, "train", epoch, start_index=start_index)
+            start_index = 0
+            if os.path.exists(step_file):
+                os.remove(step_file)
             self.writer.flush()
             ts, dev_loss = self._run_epoch_dev(ts, epoch, stage_name)
             self.writer.flush()
@@ -152,8 +175,11 @@ class Processor:
             "length": jnp.asarray(data["length"]),
         }
 
-    def _run_epoch(self, ts: TrainState, mode: str, epoch: int) -> TrainState:
+    def _run_epoch(self, ts: TrainState, mode: str, epoch: int,
+                   start_index: int = 0) -> TrainState:
         avg_step = self.config["config"].get("avg_step", 100)
+        # optional mid-epoch checkpointing (config: ckpt_every_steps)
+        ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
         self.dataset.set_attribute(mode, augment=False)
         self.dataset.init_seed(epoch + 1)
         self.dataset.buffer = []
@@ -172,13 +198,17 @@ class Processor:
                 sums["sisnr"] += float(m["sisnr"])
             pending.clear()
 
-        for i in range(len(self.dataset)):
+        for i in range(start_index, len(self.dataset)):
             data = self.dataset[i]
             batch = self._batch_to_device(data)
             ts, model_state, metrics = self._train_fn(
                 ts, model_state, batch, bool(data["flag"]))
             pending.append(metrics)
             self.train_step_count += 1
+            if ckpt_every and (i + 1) % ckpt_every == 0:
+                drain()
+                self.save_modules(self.STAGES[0], ts, save_weights=False,
+                                  step_in_epoch=i + 1)
             if (i + 1) % avg_step == 0:
                 drain()
                 print(f"train, Epoch: {epoch}, Step: {self.train_step_count}\n"

@@ -109,3 +109,24 @@ def test_audio_utils():
     y, rms, scalar = tailor_db_fs(np.ones(100) * 0.5)
     target_rms = 10 ** (-25 / 20)
     assert abs(np.sqrt(np.mean(y ** 2)) - target_rms) < 1e-3
+
+
+def test_batch_sdr_permutation():
+    from semi_tpu.metrics.pit import batch_sdr
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((2, 2, 4000)).astype(np.float32))
+    est = src[:, ::-1, :]
+    sdr, perm = batch_sdr(est, src, return_perm=True)
+    assert float(jnp.min(sdr)) > 30
+    assert np.all(np.asarray(perm) == 1)  # the swapped permutation wins
+
+
+def test_compute_snr():
+    from semi_tpu.metrics.eval import compute_snr
+
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal(4000).astype(np.float32)
+    n = rng.standard_normal(4000).astype(np.float32)
+    snr = compute_snr(s + 0.1 * n, s)
+    assert 18 < snr < 22

@@ -126,3 +126,30 @@ def test_predict_harness(config, tmp_path, capsys):
     # rtf may be 0 when every item length was a fresh compile
     assert np.isfinite(res["rtf"]) and res["rtf"] >= 0
     assert np.isfinite(res["a_sisdr"]) and np.isfinite(res["b_stoi"])
+
+
+def test_step_level_checkpoint_and_restart(config, tmp_path):
+    """Mid-epoch checkpoints allow crash-restart (SURVEY §5.3)."""
+    from semi_tpu.train.processor import Processor
+
+    cfg = copy.deepcopy(config)
+    cfg["config"]["ckpt_every_steps"] = 2
+    path = _write_config(cfg, tmp_path)
+    proc = Processor("TemporalCRN", path, user_defined_name="s")
+    proc.train(stage=0, resume=False)
+    d = os.path.join(cfg["config"]["checkpoint_dir"], "denoise", "s")
+    # Step.json removed after the epoch completed normally
+    assert not os.path.exists(os.path.join(d, "Step.json"))
+    assert os.path.exists(os.path.join(d, "TemporalCRN.npz"))
+
+    # simulate a crash mid-epoch: write Step.json and resume
+    import json
+    with open(os.path.join(d, "Step.json"), "w") as f:
+        json.dump({"Step_In_Epoch": 2}, f)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["denoise"]["num_epoch"] = 1
+    path2 = _write_config(cfg2, tmp_path)
+    proc2 = Processor("TemporalCRN", path2, user_defined_name="s")
+    proc2.train(stage=0, resume=True)  # re-enters the partial epoch
+    assert proc2.epoch == 0
+    assert not os.path.exists(os.path.join(d, "Step.json"))
