@@ -152,7 +152,7 @@ def stft_matmul(
         window = hamming_window(n_fft, dtype=x.dtype)
     frames = _frame(x, n_fft, hop) * window          # [..., T, n_fft]
     fwd, _ = dft_matrices(n_fft)
-    spec = frames @ fwd                               # [..., T, 2F]
+    spec = frames @ fwd.astype(x.dtype)               # [..., T, 2F]
     f = n_fft // 2 + 1
     return jnp.stack([spec[..., :f], spec[..., f:]], axis=-1)
 
@@ -171,7 +171,7 @@ def istft_matmul(
     num_frames = spec.shape[-3]
     _, inv = dft_matrices(n_fft)
     flat = jnp.concatenate([spec[..., 0], spec[..., 1]], axis=-1)  # [..., T, 2F]
-    frames = (flat @ inv) * window                                  # [..., T, n_fft]
+    frames = (flat @ inv.astype(spec.dtype)) * window              # [..., T, n_fft]
 
     total = n_fft + (num_frames - 1) * hop
     idx = jnp.asarray(_frame_indices(num_frames, n_fft, hop))
