@@ -365,3 +365,43 @@ def pesq_loss(y_true: jax.Array, y_pred: jax.Array, length=None):
     del length
     scores = jax.vmap(_pesq_item)(y_true, y_pred)
     return -jnp.mean(scores)
+
+
+# --------------------------------------------------------------------
+# Label-smoothed KL-divergence (utility.py:573-611; ASR leftover in the
+# reference, unused by the active enhancement path — kept for inventory)
+# --------------------------------------------------------------------
+
+def kldiv_loss(log_probabilities, targets, length=None,
+               label_smoothing: float = 0.0, pad_idx: int = 0,
+               reduction: str = "mean"):
+    """KL divergence against a label-smoothed one-hot distribution.
+
+    Args:
+        log_probabilities: ``[B, T, K]`` log-probs.
+        targets: ``[B, T]`` int labels; ``pad_idx`` positions are masked.
+    """
+    if log_probabilities.ndim == 2:
+        log_probabilities = log_probabilities[:, None, :]
+    b, t, k = log_probabilities.shape
+    targets = targets.astype(jnp.int32).reshape(-1)
+    logp = log_probabilities.reshape(-1, k)
+
+    confidence = 1.0 - label_smoothing
+    smooth = label_smoothing / (k - 1)
+    ignore = targets == pad_idx
+    tgt = jnp.where(ignore, 0, targets)
+    true_dist = jnp.full((b * t, k), smooth, logp.dtype)
+    true_dist = true_dist.at[jnp.arange(b * t), tgt].set(confidence)
+
+    # kl_div(log_input, target) elementwise: target * (log(target) - input)
+    loss = true_dist * (jnp.log(jnp.maximum(true_dist, 1e-12)) - logp)
+    loss = jnp.where(ignore[:, None], 0.0, loss)
+
+    if reduction == "mean" or reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "batchmean":
+        return jnp.sum(loss) / b
+    if reduction == "batch":
+        return loss.reshape(b, -1).sum(1) / length
+    return loss

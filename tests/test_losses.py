@@ -89,3 +89,15 @@ def test_pesq_loss_ordering_and_grad():
 
     g = jax.grad(lambda p: pesq_loss(x, p))(x + 0.05 * noise)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_kldiv_loss():
+    from semi_tpu.metrics.losses import kldiv_loss
+
+    logits = jnp.log(jnp.asarray([[[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]]]))
+    targets = jnp.asarray([[0, 1]])
+    # near-perfect predictions -> small loss; pad positions masked
+    small = float(kldiv_loss(logits, targets, pad_idx=2))
+    assert 0 < small < 1.0
+    masked = float(kldiv_loss(logits, jnp.asarray([[0, 0]]), pad_idx=0))
+    assert masked == 0.0
