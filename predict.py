@@ -32,6 +32,12 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
             profile_dir: str | None = None, dump_dir: str | None = None):
     config = load_config(config_path)
+    if model_name not in config:
+        from semi_tpu.models import MODEL_REGISTRY
+
+        raise SystemExit(
+            f"error: no config section for model '{model_name}'; "
+            f"registered models: {sorted(MODEL_REGISTRY)}")
     model = build_model(model_name, config[model_name])
     params = model.init(jax.random.PRNGKey(0))
 

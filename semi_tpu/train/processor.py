@@ -58,6 +58,12 @@ class Processor:
             if os.path.exists(teacher):
                 section["path"] = teacher
             self.model = DistillationCRN(**section)
+        elif model_name not in self.config:
+            from semi_tpu.models import MODEL_REGISTRY
+
+            raise SystemExit(
+                f"error: no config section for model '{model_name}'; "
+                f"registered models: {sorted(MODEL_REGISTRY)}")
         else:
             self.model = build_model(model_name, self.config[model_name])
         self.dataset = dataset if dataset is not None else LibriPartyDataset(self.config)
