@@ -200,3 +200,41 @@ def test_sequence_model_shapes():
     y, st = sm.apply(params, st, x)
     assert y.shape == (2, 16, 21)
     assert st["h"].shape == (2, 2, 8)
+
+
+def test_linear_t_circular_accumulation():
+    """LinearT consumes weight columns circularly and accumulates
+    (CRN_ELU.py:63-96): two 3-wide calls == one 6-wide call with the
+    first 6 weight columns, bias added only once."""
+    from semi_tpu.layers.linear_t import LinearT
+
+    lt = LinearT(12, 5)
+    params = lt.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6))
+
+    st = lt.init_state(2)
+    y1, st = lt.apply(params, st, x[:, :3])
+    y2, st = lt.apply(params, st, x[:, 3:])
+    expected = x @ params["w"][:, :6].T + params["b"]
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(expected), atol=1e-5)
+    assert int(st["step"]) == 6
+
+    # wraparound: after consuming all 12 columns, step resets to 0
+    _, st = lt.apply(params, st, jax.random.normal(jax.random.PRNGKey(2), (2, 6)))
+    assert int(st["step"]) == 0
+
+
+def test_resample_preserves_tone():
+    """Polyphase resampler: a 440 Hz tone stays 440 Hz at the new rate."""
+    from semi_tpu.ops.resample import resample_poly
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = jnp.asarray(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+    y = np.asarray(resample_poly(x, 5, 8))  # -> 10 kHz
+    assert len(y) == 10000
+    spec = np.abs(np.fft.rfft(y[500:-500] * np.hanning(len(y) - 1000)))
+    peak_hz = np.argmax(spec) * 10000 / (len(y) - 1000)
+    assert abs(peak_hz - 440) < 3
+    # amplitude preserved within a few percent
+    assert abs(np.abs(y[500:-500]).max() - 1.0) < 0.05
