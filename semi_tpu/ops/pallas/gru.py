@@ -89,7 +89,7 @@ def gru2_chunk(gi1, whh1, bhh1, wih2, bih2, whh2, bhh2, h0,
             jax.ShapeDtypeStruct((t, b, h), gi1.dtype),
             jax.ShapeDtypeStruct((2, b, h), gi1.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
