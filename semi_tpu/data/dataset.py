@@ -284,7 +284,10 @@ class LibriPartyDataset:
             first = False
 
     def __getitem__(self, index: int) -> dict:
-        rng = self._rng(index)
+        # distinct stream from _make_utterance's content rng (same seed
+        # would replay identical draws for piece lengths)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index, 0x5EED]))
         while not self.buffer:
             mix, source, noise, utt_len = self._make_utterance(index)
             self._split_to_buffer(mix, source, noise, utt_len, rng)
