@@ -251,7 +251,10 @@ class Processor:
             sums["logmse"] += float(m["aux"])
             sums["sisnr"] += float(m["sisnr"])
 
-        dev_loss = sums["loss"] / max(count, 1)
+        # the distillation workload gates on dev STOI alone
+        # (train_distillation.py:220); others on the combined loss
+        criterion = "logmse" if self.modelname == "DistillationCRN" else "loss"
+        dev_loss = sums[criterion] / max(count, 1)
         for name in ("loss", "logmse", "sisnr"):
             self.writer.add_scalar(f"dev_loss/dev_{name}",
                                    sums[name] / max(count, 1),
