@@ -25,7 +25,31 @@ import jax.numpy as jnp
 from semi_tpu.ops.segment import over_add, segmentation
 from semi_tpu.ops.stft import StftConfig, istft_matmul as istft, stft_matmul as stft
 
-__all__ = ["StreamingModel"]
+__all__ = ["StreamingModel", "select_reset"]
+
+
+def select_reset(carried, fresh, reset_mask):
+    """Per-stream state reset: where ``reset_mask[b]`` is True, take the
+    fresh (zero) state for stream b, else keep the carried state.
+
+    State pytrees mix batch-axis positions (conv buffers ``[B, ...]``,
+    RNN hidden ``[layers, B, H]``, scalar counters); the batch axis is
+    located as the first axis whose extent equals the mask length —
+    the same convention as parallel.mesh.state_sharding. Scalar/shared
+    leaves (step counters) reset only when EVERY stream resets.
+    """
+    b = reset_mask.shape[0]
+
+    def sel(c, f):
+        for d, size in enumerate(c.shape):
+            if size == b:
+                shape = [1] * c.ndim
+                shape[d] = b
+                m = reset_mask.reshape(shape)
+                return jnp.where(m, f, c)
+        return jnp.where(jnp.all(reset_mask), f, c)
+
+    return jax.tree.map(sel, carried, fresh)
 
 
 class StreamingModel:

@@ -205,6 +205,28 @@ class TemporalCRN(StreamingModel):
         return StreamingModel.realtime_process(self, params, state, mixture,
                                                flag)
 
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        """Multi-stream runtime: B independent utterance streams.
+
+        Unlike ``realtime_process`` (whose static ``flag`` resets ALL
+        streams and pads/trims the warm-up window), this takes a traced
+        per-stream ``reset_mask[B]``: masked streams restart from fresh
+        state. The warm-up lead-in (segment_length//2 zeros before a new
+        utterance, CRN_ELU.py:474-476) is the data pipeline's job here
+        (semi_tpu/data/stream.py prepends it to each utterance before
+        chopping fixed pieces), so one compiled program serves every
+        step — no per-flag recompilation.
+        """
+        from semi_tpu.models.base import select_reset
+
+        b = mixture.shape[0]
+        state = select_reset(state, self.init_state(b, mixture.dtype),
+                             reset_mask)
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        return wav, state
+
     # -- distillation support (reference: distillation_crn.py:337-477) ---
     def get_channel_num(self):
         """Channel widths of the 5 feature taps (distillation_crn.py:386-387)."""

@@ -99,6 +99,47 @@ def make_train_step(model, accum_every: int = 2, max_grad_norm: float = 5.0,
     return step
 
 
+def make_batched_train_step(model, accum_every: int = 2,
+                            max_grad_norm: float = 5.0):
+    """Multi-stream train step: per-stream reset mask instead of the
+    static flag — ONE compiled program for the whole run (see
+    semi_tpu/data/stream.py). Batch dims shard over a dp mesh as usual.
+    """
+    tx = make_optimizer(max_grad_norm)
+
+    def step(ts: TrainState, model_state, batch):
+        def loss_fn(params):
+            pred, new_ms = model.realtime_process_batched(
+                params, model_state, batch["mix"], batch["reset"])
+            loss, aux, sisnr = model.compute_loss(
+                batch["source"], pred, batch["length"])
+            return loss, (aux, sisnr, new_ms)
+
+        (loss, (aux, sisnr, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        acc = jax.tree.map(lambda a, g: a + g / accum_every, ts.grad_accum, grads)
+        count = ts.accum_count + 1
+
+        def apply_update(_):
+            updates, opt_state = tx.update(acc, ts.opt_state, ts.params)
+            new_params = jax.tree.map(
+                lambda p, u: p - ts.plateau.lr * u, ts.params, updates)
+            return new_params, opt_state, jax.tree.map(jnp.zeros_like, acc), \
+                jnp.zeros((), jnp.int32)
+
+        def skip_update(_):
+            return ts.params, ts.opt_state, acc, count
+
+        new_params, opt_state, new_acc, new_count = jax.lax.cond(
+            count >= accum_every, apply_update, skip_update, None)
+        new_ts = TrainState(
+            params=new_params, opt_state=opt_state, grad_accum=new_acc,
+            accum_count=new_count, plateau=ts.plateau, step=ts.step + 1)
+        return new_ts, new_ms, {"loss": loss, "aux": aux, "sisnr": sisnr}
+
+    return step
+
+
 def make_eval_step(model, loss_kwargs: dict | None = None):
     loss_kwargs = loss_kwargs or {}
 
