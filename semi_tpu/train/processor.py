@@ -149,6 +149,15 @@ class Processor:
             static_argnums=3)
         self._eval_fn = jax.jit(make_eval_step(self.model), static_argnums=3)
 
+        # optional multi-stream batched training (denoise.batch_streams > 1):
+        # B utterance streams per step, one compiled program
+        self._batch_streams = cfg.get("batch_streams", 1)
+        if self._batch_streams > 1:
+            from semi_tpu.train.step import make_batched_train_step
+
+            self._batched_train_fn = jax.jit(
+                make_batched_train_step(self.model, accum, max_grad_norm))
+
         # mid-epoch restart: Step.json marks a partial epoch to continue
         start_epoch = self.epoch + 1
         start_index = 0
@@ -183,6 +192,8 @@ class Processor:
 
     def _run_epoch(self, ts: TrainState, mode: str, epoch: int,
                    start_index: int = 0) -> TrainState:
+        if self._batch_streams > 1:
+            return self._run_epoch_batched(ts, epoch)
         avg_step = self.config["config"].get("avg_step", 100)
         # optional mid-epoch checkpointing (config: ckpt_every_steps)
         ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
@@ -218,6 +229,55 @@ class Processor:
             if (i + 1) % avg_step == 0:
                 drain()
                 print(f"train, Epoch: {epoch}, Step: {self.train_step_count}\n"
+                      f"loss: {sums['loss']/avg_step:.4f}, "
+                      f"logmse: {sums['logmse']/avg_step:.4f}, "
+                      f"sisnr: {sums['sisnr']/avg_step:.4f}", flush=True)
+                for name in ("loss", "logmse", "sisnr"):
+                    self.writer.add_scalar(f"train_loss/train_{name}",
+                                           sums[name] / avg_step,
+                                           self.train_step_count)
+                    sums[name] = 0.0
+        drain()
+        return ts
+
+    def _run_epoch_batched(self, ts: TrainState, epoch: int) -> TrainState:
+        from semi_tpu.data.stream import MultiStreamSampler
+
+        avg_step = self.config["config"].get("avg_step", 100)
+        b = self._batch_streams
+        piece = self.config["denoise"].get("stream_piece_length", 16000)
+        self.dataset.set_attribute("train", augment=False)
+        self.dataset.init_seed(epoch + 1)
+        sampler = MultiStreamSampler(
+            self.dataset, b, piece_length=piece,
+            lead=self.model.segment_length // 2)
+        model_state = self.model.init_state(b)
+
+        num_batches = max(1, len(self.dataset) // b)
+        pending: list = []
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+
+        def drain():
+            for m in pending:
+                sums["loss"] += float(m["loss"])
+                sums["logmse"] += float(m["aux"])
+                sums["sisnr"] += float(m["sisnr"])
+            pending.clear()
+
+        for i in range(num_batches):
+            raw = sampler.next_batch()
+            batch = {"mix": jnp.asarray(raw["mix"]),
+                     "source": jnp.asarray(raw["source"]),
+                     "length": jnp.asarray(raw["length"]),
+                     "reset": jnp.asarray(raw["reset"])}
+            ts, model_state, metrics = self._batched_train_fn(
+                ts, model_state, batch)
+            pending.append(metrics)
+            self.train_step_count += 1
+            if (i + 1) % avg_step == 0:
+                drain()
+                print(f"train[B={b}], Epoch: {epoch}, Step: "
+                      f"{self.train_step_count}\n"
                       f"loss: {sums['loss']/avg_step:.4f}, "
                       f"logmse: {sums['logmse']/avg_step:.4f}, "
                       f"sisnr: {sums['sisnr']/avg_step:.4f}", flush=True)

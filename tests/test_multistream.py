@@ -111,3 +111,25 @@ def test_batched_train_step():
     batch["reset"] = jnp.asarray([False, True])
     ts, state, metrics = step(ts, state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_processor_batched_mode(tmp_path):
+    """The Processor trains in multi-stream mode via denoise.batch_streams."""
+    import copy
+    import yaml
+
+    from semi_tpu.train.processor import Processor
+    from tests.test_trainer import TINY_CONFIG
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["checkpoint_dir"] = str(tmp_path / "m")
+    cfg["config"]["log_dir"] = str(tmp_path / "l")
+    cfg["config"]["train_epoch_size"] = 4
+    cfg["denoise"]["batch_streams"] = 2
+    cfg["denoise"]["stream_piece_length"] = 8000
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    proc = Processor("TemporalCRN", str(p), user_defined_name="ms")
+    proc.train(stage=0, resume=False)
+    assert proc.epoch == 0
+    assert np.isfinite(proc.last_loss)
