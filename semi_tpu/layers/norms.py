@@ -94,16 +94,21 @@ class CumLayerNorm(Module):
         return {}
 
     def init_state(self, batch: int, dtype=jnp.float32):
+        # per-stream step counter (shape [B]) so multi-stream resets
+        # restart each stream's running mean independently
         return {
             "mean": jnp.zeros((batch,) + (1,) * (self.ndim - 1), dtype),
-            "step": jnp.zeros((), jnp.int32),
+            "step": jnp.zeros((batch,), jnp.int32),
         }
+
+    def _alpha(self, step, dtype, ndim):
+        a = step.astype(dtype) / (step.astype(dtype) + 1.0)
+        return a.reshape((-1,) + (1,) * (ndim - 1))
 
     def apply(self, params, state, x):
         axes = tuple(range(1, x.ndim))
         mean = jnp.mean(x, axis=axes, keepdims=True)
-        step = state["step"].astype(x.dtype)
-        alpha = step / (step + 1.0)
+        alpha = self._alpha(state["step"], x.dtype, x.ndim)
         g_mean = detach(alpha * state["mean"] + (1.0 - alpha) * mean)
         new_step = jnp.minimum(state["step"] + 1, self.max_step)
         y = x / (g_mean + EPS)
@@ -120,7 +125,7 @@ class CumLayerNorm(Module):
 
         def step_fn(carry, m):
             g_prev, step = carry
-            alpha = step.astype(x.dtype) / (step.astype(x.dtype) + 1.0)
+            alpha = self._alpha(step, x.dtype, x.ndim - 1)
             g = detach(alpha * g_prev + (1.0 - alpha) * m)
             return (g, jnp.minimum(step + 1, self.max_step)), g
 

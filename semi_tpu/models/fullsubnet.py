@@ -376,6 +376,34 @@ class FullSubNet(StreamingModel):
             return wav, state
         return (wav, pred_crm, s, noisy_c), state
 
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        """Multi-stream runtime (see TemporalCRN.realtime_process_batched):
+        per-stream reset mask, lead-in handled by the data pipeline."""
+        from semi_tpu.models.base import select_reset
+        from semi_tpu.ops.mask import decompress_cirm as _dec
+
+        b = mixture.shape[0]
+        fresh = self.init_state(b, mixture.dtype)
+        # the sub-band LSTM batches B*num_freqs rows (layout b*F + f), so
+        # its reset mask repeats per frequency
+        sb_mask = jnp.repeat(reset_mask, self.num_freqs)
+        state = {
+            "fb": select_reset(state["fb"], fresh["fb"], reset_mask),
+            "sb": select_reset(state["sb"], fresh["sb"], sb_mask),
+            "norm_fb": select_reset(state["norm_fb"], fresh["norm_fb"],
+                                    reset_mask),
+            "norm_sb": select_reset(state["norm_sb"], fresh["norm_sb"],
+                                    reset_mask),
+        }
+        x, _, gap = self.preprocessing(mixture)
+        pred_crm, state = self.forward_stacked(params, state, x)
+        crm = _dec(pred_crm)
+        noisy_c = jnp.stack([x[:, :, 0], x[:, :, self.num_mics]], axis=2)
+        er, ei = complex_mul(crm[:, :, 0], crm[:, :, 1],
+                             noisy_c[:, :, 0], noisy_c[:, :, 1])
+        wav = self.postprocessing(jnp.stack([er, ei], axis=-1), gap)
+        return wav, state
+
     def compute_loss(self, source, pred, length, xf=None, sf=None, cirm=None):
         """6-arg-compatible loss (fullsubnet.py:964-987); spectra unused."""
         return super().compute_loss(source, pred, length)

@@ -173,7 +173,7 @@ def test_cum_layer_norm_step_cap():
     x = jnp.ones((1, 2, 3, 4))
     for _ in range(6):
         _, st = norm.apply({}, st, x)
-    assert int(st["step"]) == 3
+    assert int(st["step"][0]) == 3
 
 
 def test_attention_kv_ring():

@@ -133,3 +133,38 @@ def test_processor_batched_mode(tmp_path):
     proc.train(stage=0, resume=False)
     assert proc.epoch == 0
     assert np.isfinite(proc.last_loss)
+
+
+def test_fullsubnet_batched_streams():
+    from semi_tpu.models.fullsubnet import FullSubNet
+
+    m = FullSubNet(num_freqs=201, look_ahead=0, sequence_model="LSTM",
+                   fb_num_neighbors=0, sb_num_neighbors=15,
+                   fb_output_activate_function="ReLU",
+                   sb_output_activate_function=False,
+                   fb_model_hidden_size=24, sb_model_hidden_size=16,
+                   num_mics=3, num_layers=1, segment_length=3200)
+    params = m.init(jax.random.PRNGKey(0))
+    p = 4800
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 3, p)) * 0.1
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 3, p)) * 0.1
+
+    st = m.init_state(2)
+    y1, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[0], xb[0]]), jnp.asarray([True, True]))
+    y2, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[1], xb[1]]), jnp.asarray([False, True]))
+
+    sa = m.init_state(1)
+    _, sa = m.realtime_process_batched(params, sa, xa[0][None],
+                                       jnp.asarray([True]))
+    ya2, _ = m.realtime_process_batched(params, sa, xa[1][None],
+                                        jnp.asarray([False]))
+    sb = m.init_state(1)
+    _, sb = m.realtime_process_batched(params, sb, xb[0][None],
+                                       jnp.asarray([True]))
+    yb2, _ = m.realtime_process_batched(params, sb, xb[1][None],
+                                        jnp.asarray([True]))
+
+    np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(ya2[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(yb2[0]), atol=3e-5)
