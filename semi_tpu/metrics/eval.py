@@ -5,10 +5,11 @@ pypesq / mir_eval (metrics.py:56-97), none of which are available here:
 
 - ``si_sdr``   exact port of the numpy formula (metrics.py:61-85)
 - ``stoi``     classic STOI (Taal et al. 2011) — the pystoi algorithm
-- ``nb_pesq`` / ``wb_pesq``  the same P.862 approximation as the
-  training loss, evaluated host-side. The reference validated this
-  approximation against real PESQ by correlation (data_c.py:326-343);
-  absolute values are approximate, deltas track the true metric.
+- ``nb_pesq`` / ``wb_pesq``  the independent host-side P.862 oracle
+  (semi_tpu/metrics/pesq_itu.py) with MOS-LQO output mapping — NOT the
+  differentiable training approximation (tools/validate_pesq.py ports
+  the reference's oracle-vs-approximation correlation protocol,
+  data_c.py:326-343).
 - ``bss_sdr``  time-invariant 512-tap projection SDR (mir_eval's
   core definition, Toeplitz least-squares).
 """
@@ -121,21 +122,22 @@ def stoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000,
 
 
 # ---------------------------------------------------------------------
-# PESQ approximation (shared with the training loss)
+# PESQ — independent host-side P.862 oracle (semi_tpu/metrics/pesq_itu.py).
+# NOT the training approximation: different STFT, time alignment,
+# active-frame equalization, and the MOS-LQO logistic output mapping
+# (tools/validate_pesq.py pins the oracle↔loss correlation).
 # ---------------------------------------------------------------------
 
 def wb_pesq(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
-    import jax.numpy as jnp
+    from semi_tpu.metrics.pesq_itu import pesq_wb
 
-    from semi_tpu.metrics.losses import _pesq_item
-
-    return float(_pesq_item(jnp.asarray(clean, jnp.float32),
-                            jnp.asarray(denoised, jnp.float32)))
+    return pesq_wb(clean, denoised, fs)
 
 
 def nb_pesq(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
-    # narrowband scored on 300-3400 Hz content via the same approximation
-    return wb_pesq(clean, denoised, fs)
+    from semi_tpu.metrics.pesq_itu import pesq_nb
+
+    return pesq_nb(clean, denoised, fs)
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,353 @@
+"""Independent host-side PESQ oracle (ITU-T P.862 / P.862.2 structure).
+
+The reference evaluates with the compiled ITU C extensions (`pesq`,
+`pypesq` — reference: metrics.py:92-97) and *trains* with a frame-
+synchronous differentiable approximation (utility.py:615-814). Round 1
+aliased the eval metric to the training approximation, scoring the
+network on its own objective (VERDICT.md missing #3). This module is
+the independent oracle: a numpy implementation of the P.862 pipeline,
+sharing NO code with `semi_tpu.metrics.losses` — and differing from the
+training approximation in every stage that the approximation
+simplifies:
+
+- **time alignment**: crude envelope cross-correlation + fine sample-
+  level refinement (the approximation assumes sample-aligned inputs);
+- **STFT**: 32 ms (512-sample) Hann frames, 50% overlap, 512-FFT (the
+  approximation uses 1024/512/256);
+- **frequency compensation** computed over speech-ACTIVE frames only,
+  normalized by the active-frame count (P.862 §10.2.3);
+- **gain compensation** with the standard first-order smoother
+  ``h = 0.2 h + 0.8 g`` (the approximation drops the 0.8);
+- **pseudo-Lp** starting at band 1, matching the ITU aggregator;
+- **MOS-LQO output mapping**: the P.862.2 wideband logistic (the
+  approximation returns the raw 4.5 − 0.1·d − 0.0309·a score, which is
+  NOT on the same scale as the reference README's `pesq`-library
+  numbers).
+
+Documented simplifications vs the ITU C code: one global delay (no
+utterance splitting / bad-interval realignment — enhancement eval
+compares a stream against its own source, so delay is constant), a
+2nd-order Butterworth 100 Hz high-pass standing in for the P.862.2
+input filter, and the approximation's spectrogram-domain level
+calibration (mean 300–3000 Hz band power → 1e7) standing in for the
+time-domain fix_power_level. `tools/validate_pesq.py` ports the
+reference's correlation protocol (data_c.py:326-343) to pin agreement
+between this oracle and the training approximation.
+
+Bark-domain constants are the ITU standard tables (physical constants;
+they appear in every P.862 implementation, including the reference's
+utility.py:668-710).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["pesq_wb", "pesq_nb", "align_delay"]
+
+_FS = 16000
+_FRAME = 512           # 32 ms at 16 kHz
+_HOP = 256
+_NB = 49               # bark bands, 16 kHz mode
+
+# ITU-T P.862 constant tables, 16 kHz mode (standard constants).
+_ABS_THRESH = np.array([
+    51286152.0, 2454709.5, 70794.59375, 4897.788574, 1174.897705,
+    389.045166, 104.71286, 45.70882, 17.782795, 9.772372,
+    4.897789, 3.090296, 1.905461, 1.258925, 0.977237,
+    0.724436, 0.562341, 0.457088, 0.389045, 0.331131,
+    0.295121, 0.269153, 0.25704, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.263027, 0.288403, 0.30903,
+    0.338844, 0.371535, 0.398107, 0.436516, 0.467735,
+    0.489779, 0.501187, 0.501187, 0.512861, 0.524807,
+    0.524807, 0.524807, 0.512861, 0.47863, 0.42658,
+    0.371535, 0.363078, 0.416869, 0.537032], dtype=np.float64)
+
+_POW_CORR = np.array([
+    100.0, 99.999992, 100.0, 100.000008, 100.000008,
+    100.000015, 99.999992, 99.999969, 50.000027, 100.0,
+    99.999969, 100.000015, 99.999947, 100.000061, 53.047077,
+    110.000046, 117.991989, 65.0, 68.760147, 69.999931,
+    71.428818, 75.000038, 76.843384, 80.968781, 88.646126,
+    63.864388, 68.15535, 72.547775, 75.584831, 58.379192,
+    80.950836, 64.135651, 54.384785, 73.821884, 64.437073,
+    59.176456, 65.521278, 61.399822, 58.144047, 57.004543,
+    64.126297, 54.311001, 61.114979, 55.077751, 56.849335,
+    55.628868, 53.137054, 54.985844, 79.546974], dtype=np.float64)
+
+_WIDTH_BARK = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474,
+    0.336061, 0.340697, 0.345381, 0.350114, 0.354897,
+    0.359729, 0.364611, 0.369544, 0.374529, 0.379565,
+    0.384653, 0.389794, 0.394989, 0.400236, 0.405538,
+    0.410894, 0.416306, 0.421773, 0.427297, 0.432877,
+    0.438514, 0.444209, 0.449962, 0.455774, 0.461645,
+    0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.51725, 0.523745,
+    0.530308, 0.536934, 0.543629, 0.55039, 0.55722,
+    0.564119, 0.571085, 0.578125, 0.585232], dtype=np.float64)
+
+# centre of band in bark = cumulative width − width/2 (P.862 table)
+_CENTRE_BARK = np.cumsum(_WIDTH_BARK) - _WIDTH_BARK / 2
+
+_SP = 6.910853e-1      # power-density scale under the 1e7 calibration
+_SL = 1.866055e-1
+_ZWICKER = 0.23
+
+
+def _bark_matrix() -> np.ndarray:
+    """[49, 257] band-sum matrix from bark→Hz edges (Zwicker scale).
+
+    Independent derivation: uniform 49 bands over 0–21 bark, mapped to
+    Hz with the piecewise-corrected Zwicker inverse.
+    """
+    edges = []
+    for k in np.linspace(0.0, 21.0, _NB + 1):
+        kk = k
+        if kk < 2.0:
+            kk = (kk - 0.3) / 0.85
+        elif kk > 20.1:
+            kk = (kk + 4.422) / 1.22
+        hz = 1960.0 * (kk + 0.53) / (26.28 - kk)
+        edges.append(int(round(hz / (_FS / 2) * (_FRAME // 2))))
+    mat = np.zeros((_NB, _FRAME // 2 + 1), dtype=np.float64)
+    for j in range(_NB):
+        lo, hi = max(0, edges[j]), max(0, edges[j + 1])
+        mat[j, lo:hi] = 1.0
+    return mat
+
+
+_BARK_MAT = _bark_matrix()
+
+
+# ---------------------------------------------------------------------
+# alignment + preprocessing
+# ---------------------------------------------------------------------
+
+def _highpass_wb(x: np.ndarray) -> np.ndarray:
+    """P.862.2 input high-pass (100 Hz, 2nd-order butterworth)."""
+    from scipy.signal import butter, lfilter
+    b, a = butter(2, 100.0 / (_FS / 2), btype="highpass")
+    return lfilter(b, a, x)
+
+
+def align_delay(ref: np.ndarray, deg: np.ndarray,
+                max_delay: int = 2 * _FS) -> int:
+    """Delay of ``deg`` relative to ``ref`` in samples.
+
+    Full normalized cross-correlation over ±``max_delay`` lags: FFT
+    cross-correlation with exact per-lag overlap-energy normalization
+    (sliding energies via cumulative sums). Sample-exact for shifted
+    copies and robust to the pitch-period ambiguity a windowed search
+    around a crude envelope estimate exhibits on strongly periodic
+    speech.
+    """
+    from scipy.signal import fftconvolve
+
+    n = min(len(ref), len(deg))
+    if n < _FRAME:
+        return 0
+    r = ref[:n]
+    d = deg[:n]
+    max_delay = min(max_delay, n - _FRAME)
+    xc = fftconvolve(d, r[::-1])           # index i ↔ lag i-(n-1)
+    mid = n - 1
+    lags = np.arange(-max_delay, max_delay + 1)
+    num = xc[mid - max_delay: mid + max_delay + 1]
+
+    # overlap energies per lag: lag k ≥ 0 pairs ref[0:n-k] with deg[k:n]
+    cr = np.concatenate([[0.0], np.cumsum(r ** 2)])
+    cd = np.concatenate([[0.0], np.cumsum(d ** 2)])
+    k = np.abs(lags)
+    e_ref = np.where(lags >= 0, cr[n - k] - cr[0], cr[n] - cr[k])
+    e_deg = np.where(lags >= 0, cd[n] - cd[k], cd[n - k] - cd[0])
+    v = num / (np.sqrt(e_ref * e_deg) + 1e-12)
+    return int(lags[np.argmax(v)])
+
+
+def _apply_delay(ref: np.ndarray, deg: np.ndarray, d: int):
+    if d >= 0:
+        deg = deg[d:]
+    else:
+        ref = ref[-d:]
+    n = min(len(ref), len(deg))
+    return ref[:n], deg[:n]
+
+
+def _trim_silence(ref: np.ndarray, deg: np.ndarray, thresh_db: float = 55.0):
+    """Trim joint leading/trailing silence of the REFERENCE."""
+    hop = 64
+    n = len(ref) // hop * hop
+    if n == 0:
+        return ref, deg
+    e = 10 * np.log10(np.mean(ref[:n].reshape(-1, hop) ** 2, axis=1) + 1e-12)
+    active = np.flatnonzero(e > e.max() - thresh_db)
+    if len(active) == 0:
+        return ref, deg
+    lo = active[0] * hop
+    hi = min(len(ref), (active[-1] + 1) * hop)
+    return ref[lo:hi], deg[lo:hi]
+
+
+def _power_spectrogram(x: np.ndarray) -> np.ndarray:
+    """[T, 257] Hann-windowed power spectrum, 32 ms / 50 %."""
+    w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(_FRAME) / _FRAME))
+    t = max(0, (len(x) - _FRAME) // _HOP + 1)
+    idx = np.arange(t)[:, None] * _HOP + np.arange(_FRAME)[None, :]
+    frames = x[idx] * w
+    return np.abs(np.fft.rfft(frames, _FRAME, axis=-1)) ** 2
+
+
+# ---------------------------------------------------------------------
+# perceptual model
+# ---------------------------------------------------------------------
+
+def _raw_pesq(ref: np.ndarray, deg: np.ndarray) -> float:
+    """Raw P.862 score 4.5 − 0.1·d_sym − 0.0309·d_asym on aligned input."""
+    sr = _power_spectrogram(ref)   # [T, F]
+    sd = _power_spectrogram(deg)
+    t = sr.shape[0]
+    if t < 2:
+        return 4.5
+
+    # level calibration: mean 300–3000 Hz band power → 1e7
+    lo = int(300 / (_FS / 2) * (_FRAME // 2))
+    hi = int(3000 / (_FS / 2) * (_FRAME // 2))
+    sr = sr * (1e7 / (np.mean(sr[:, lo:hi]) + 1e-14))
+    sd = sd * (1e7 / (np.mean(sd[:, lo:hi]) + 1e-14))
+
+    # pitch power densities [T, 49]
+    pr = sr @ _BARK_MAT.T * _POW_CORR[None, :] * _SP
+    pd = sd @ _BARK_MAT.T * _POW_CORR[None, :] * _SP
+    thresh = _ABS_THRESH[None, :] * 1e4
+
+    def total_audible(p, factor=1.0):
+        aud = np.where(p > thresh * factor, p, 0.0)
+        return np.sum(aud, axis=1)
+
+    # speech-active frames of the reference (P.862 §10.2.3)
+    active = total_audible(pr) > 1e7
+    n_active = max(1, int(active.sum()))
+
+    # partial frequency-response compensation, applied to the REFERENCE
+    avg_r = np.sum(np.where((pr > thresh) & active[:, None], pr, 0.0),
+                   axis=0) / n_active
+    avg_d = np.sum(np.where((pd > thresh) & active[:, None], pd, 0.0),
+                   axis=0) / n_active
+    comp = np.clip((avg_d + 1e3) / (avg_r + 1e3), 0.01, 100.0)
+    pr = pr * comp[None, :]
+
+    # short-term gain compensation, applied to the DEGRADED
+    tot_r = total_audible(pr)
+    tot_d = total_audible(pd)
+    gain = np.empty(t)
+    h = 1.0
+    for i in range(t):
+        g = (tot_r[i] + 5e3) / (tot_d[i] + 5e3)
+        h = g if i == 0 else 0.2 * h + 0.8 * g
+        gain[i] = min(max(h, 3e-4), 5.0)
+    pd = pd * gain[:, None]
+
+    # Zwicker loudness
+    hfac = np.minimum(2.0, 6.0 / (_CENTRE_BARK + 2.0))
+    mzw = (_ZWICKER * hfac ** 0.15)[None, :]
+    lr = (2 * thresh) ** mzw * ((0.5 + 0.5 * pr / thresh) ** mzw - 1)
+    ld = (2 * thresh) ** mzw * ((0.5 + 0.5 * pd / thresh) ** mzw - 1)
+    lr = np.where(pr > thresh, lr, 0.0) * _SL
+    ld = np.where(pd > thresh, ld, 0.0) * _SL
+
+    # disturbance with center-of-band masking dead-zone
+    d = ld - lr
+    m = 0.25 * np.minimum(ld, lr)
+    dist = np.where(d > m, d - m, np.where(d < -m, d + m, 0.0))
+
+    # asymmetric disturbance
+    ratio = ((pd + 50.0) / (pr + 50.0)) ** 1.2
+    asym_f = np.where(ratio < 3.0, 0.0, np.minimum(ratio, 12.0))
+    dist_a = dist * asym_f
+
+    # pseudo-Lp over bands (band 0 excluded, per the ITU aggregator)
+    w = _WIDTH_BARK[1:]
+    wsum = w.sum()
+
+    def pseudo_lp(x, p):
+        return (np.sum((np.abs(x[:, 1:]) * w) ** p, axis=1) /
+                wsum) ** (1 / p) * wsum
+
+    d_frame = pseudo_lp(dist, 2.0)
+    a_frame = pseudo_lp(dist_a, 1.0)
+
+    # weight by reference frame power; cap at 45
+    weight = ((total_audible(pr) + 1e5) / 1e7) ** 0.04
+    d_frame = np.minimum(d_frame / weight, 45.0)
+    a_frame = np.minimum(a_frame / weight, 45.0)
+
+    # L6 over 20-frame syllables (50 % overlap), then L2 over syllables
+    def lpq(frames):
+        win, hop = 20, 10
+        if t <= win:
+            chunks = [frames]
+        else:
+            starts = list(range(0, t - win + 1, hop))
+            chunks = [frames[s: s + win] for s in starts]
+            if starts[-1] + win < t:
+                chunks.append(frames[-win:])
+        syl = np.array([np.mean(c ** 6.0) ** (1 / 6.0) for c in chunks])
+        return float(np.sqrt(np.mean(syl ** 2)))
+
+    return 4.5 - 0.1 * lpq(d_frame) - 0.0309 * lpq(a_frame)
+
+
+# ---------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------
+
+def _prepare(ref, deg, fs):
+    ref = np.asarray(ref, np.float64)
+    deg = np.asarray(deg, np.float64)
+    if fs != _FS:
+        from scipy.signal import resample_poly
+        import math
+        g = math.gcd(_FS, fs)
+        ref = resample_poly(ref, _FS // g, fs // g)
+        deg = resample_poly(deg, _FS // g, fs // g)
+    return ref, deg
+
+
+def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> float:
+    """Wideband PESQ MOS-LQO (P.862.2 mapping), range ~[1.04, 4.64]."""
+    ref, deg = _prepare(ref, deg, fs)
+    ref = _highpass_wb(ref)
+    deg = _highpass_wb(deg)
+    d = align_delay(ref, deg)
+    ref, deg = _apply_delay(ref, deg, d)
+    ref, deg = _trim_silence(ref, deg)
+    if len(ref) < 2 * _FRAME:
+        return 1.04
+    raw = _raw_pesq(ref, deg)
+    # P.862.2 wideband logistic mapping
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+
+
+def pesq_nb(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> float:
+    """Narrowband PESQ MOS-LQO (P.862.1 mapping).
+
+    Approximation: scores 300–3400 Hz band-passed content with the
+    16 kHz perceptual model + the narrowband output mapping (the ITU
+    narrowband mode runs an 8 kHz 42-band model; the band-pass bounds
+    the audible difference to the telephone band, which is what the
+    narrowband score measures).
+    """
+    from scipy.signal import butter, lfilter
+    ref, deg = _prepare(ref, deg, fs)
+    b, a = butter(4, [300.0 / (_FS / 2), 3400.0 / (_FS / 2)], btype="band")
+    ref = lfilter(b, a, ref)
+    deg = lfilter(b, a, deg)
+    d = align_delay(ref, deg)
+    ref, deg = _apply_delay(ref, deg, d)
+    ref, deg = _trim_silence(ref, deg)
+    if len(ref) < 2 * _FRAME:
+        return 1.02
+    raw = _raw_pesq(ref, deg)
+    # P.862.1 narrowband logistic mapping
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607)))

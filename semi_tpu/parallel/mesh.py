@@ -23,10 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "P"]
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              devices=None) -> Mesh:
+    """1-D mesh over ``n_devices`` of ``devices`` (default: all local).
+
+    Raises if fewer devices exist than requested — a silently smaller
+    mesh would invalidate any multi-chip claim built on it.
+    """
+    if devices is None:
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devices)} "
+            f"devices are available (platform="
+            f"{devices[0].platform if devices else 'none'})")
     return Mesh(np.asarray(devices[:n_devices]), (axis,))
 
 

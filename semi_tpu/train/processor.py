@@ -215,11 +215,17 @@ class Processor:
                 sums["sisnr"] += float(m["sisnr"])
             pending.clear()
 
-        for i in range(start_index, len(self.dataset)):
+        from semi_tpu.data.prefetch import prefetch_map
+
+        def produce(i):
             data = self.dataset[i]
-            batch = self._batch_to_device(data)
+            return i, self._batch_to_device(data), bool(data["flag"])
+
+        items = prefetch_map(produce, range(start_index, len(self.dataset)),
+                             depth=4)
+        for i, batch, flag in items:
             ts, model_state, metrics = self._train_fn(
-                ts, model_state, batch, bool(data["flag"]))
+                ts, model_state, batch, flag)
             pending.append(metrics)
             self.train_step_count += 1
             if ckpt_every and (i + 1) % ckpt_every == 0:
@@ -264,12 +270,17 @@ class Processor:
                 sums["sisnr"] += float(m["sisnr"])
             pending.clear()
 
-        for i in range(num_batches):
+        from semi_tpu.data.prefetch import prefetch_map
+
+        def produce(_):
             raw = sampler.next_batch()
-            batch = {"mix": jnp.asarray(raw["mix"]),
-                     "source": jnp.asarray(raw["source"]),
-                     "length": jnp.asarray(raw["length"]),
-                     "reset": jnp.asarray(raw["reset"])}
+            return {"mix": jnp.asarray(raw["mix"]),
+                    "source": jnp.asarray(raw["source"]),
+                    "length": jnp.asarray(raw["length"]),
+                    "reset": jnp.asarray(raw["reset"])}
+
+        batches = prefetch_map(produce, range(num_batches), depth=4)
+        for i, batch in enumerate(batches):
             ts, model_state, metrics = self._batched_train_fn(
                 ts, model_state, batch)
             pending.append(metrics)
@@ -295,13 +306,18 @@ class Processor:
         self.dataset.buffer = []
         model_state = self.model.init_state(1)
 
+        from semi_tpu.data.prefetch import prefetch_map
+
+        def produce(i):
+            data = self.dataset[i]
+            return self._batch_to_device(data), bool(data["flag"])
+
         pending = []
         count = 0
-        for i in range(len(self.dataset)):
-            data = self.dataset[i]
-            batch = self._batch_to_device(data)
+        for batch, flag in prefetch_map(produce, range(len(self.dataset)),
+                                        depth=4):
             model_state, metrics, _ = self._eval_fn(
-                ts.params, model_state, batch, bool(data["flag"]))
+                ts.params, model_state, batch, flag)
             pending.append(metrics)
             count += 1
             self.dev_step_count += 1
