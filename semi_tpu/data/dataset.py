@@ -141,6 +141,8 @@ class LibriPartyDataset:
         self.all_csv = self._load_manifests(config.get("dataset", {}))
         self.buffer: list = []
         self.epoch = 0
+        self._wav_cache: dict = {}
+        self.cache_max_files = config["config"].get("wav_cache_files", 8000)
 
         mc = dict(config["augment"]["multichannel"])
         self.room_cfg = RoomConfig(
@@ -207,13 +209,24 @@ class LibriPartyDataset:
             np.random.SeedSequence([self.seed, self.epoch, index,
                                     hash(self.dataset) & 0x7FFFFFFF]))
 
+    def _read_cached(self, path: str) -> np.ndarray:
+        """Decoded-wav RAM cache. The corpus is a few thousand files
+        (~1 GB decoded) while decode+resample costs ~10 ms per utterance
+        on this 1-CPU host — without the cache the input pipeline, not
+        the TPU, bounds training throughput."""
+        wav = self._wav_cache.get(path)
+        if wav is None:
+            wav, _ = read_wav(path, self.sample_rate)
+            if len(self._wav_cache) < self.cache_max_files:
+                self._wav_cache[path] = wav
+        return wav
+
     def _load_clean(self, rng: np.random.Generator) -> np.ndarray:
         if self._have_real_data():
             paths = self.all_csv[self.dataset]["clean"]
             wav = np.zeros(0, np.float32)
             while len(wav) < 16000:
-                wav, _ = read_wav(paths[int(rng.integers(len(paths)))],
-                                  self.sample_rate)
+                wav = self._read_cached(paths[int(rng.integers(len(paths)))])
             return wav
         length = int(rng.integers(32000, 96000))
         return _synthetic_clean(rng, length, self.sample_rate)
@@ -221,8 +234,7 @@ class LibriPartyDataset:
     def _load_noise(self, rng: np.random.Generator, target_len: int) -> np.ndarray:
         if self._have_real_data():
             paths = self.all_csv[self.dataset]["noise"]
-            wav, _ = read_wav(paths[int(rng.integers(len(paths)))],
-                              self.sample_rate)
+            wav = self._read_cached(paths[int(rng.integers(len(paths)))])
             wav = extend_noise(wav, target_len, self.sample_rate)
         else:
             wav = _synthetic_noise(rng, target_len + int(rng.integers(0, 16000)))
@@ -231,7 +243,12 @@ class LibriPartyDataset:
             wav = wav[start: start + target_len]
         return wav.astype(np.float32)
 
-    def _make_utterance(self, index: int):
+    def utterance_inputs(self, index: int):
+        """Host-side phase of utterance generation: decode + perturb +
+        noise selection. Returns ``(clean[spk, mix_len], noise_wav[mix_len],
+        key, utt_len)`` — the exact inputs of the device mixer, so callers
+        (``_make_utterance`` and the device-resident sampler) share one
+        deterministic RNG chain."""
         rng = self._rng(index)
         cleans = []
         for _ in range(self.spk_num):
@@ -251,6 +268,10 @@ class LibriPartyDataset:
 
         noise_wav = self._load_noise(rng, self.mix_len)
         key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        return clean, noise_wav, key, utt_len
+
+    def _make_utterance(self, index: int):
+        clean, noise_wav, key, utt_len = self.utterance_inputs(index)
         mix, source, noise = self.pipeline(
             key, jnp.asarray(clean), jnp.asarray(noise_wav),
             self.snr_low, self.snr_high,

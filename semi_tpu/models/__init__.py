@@ -7,12 +7,16 @@ Mirrors the reference's ``globals()[name](**config[name])`` dispatch
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.complex_crn import ComplexTemporalCRN
-from semi_tpu.models.crn import TemporalCRN
+from semi_tpu.models.crn import TemporalCRN, TemporalCRNv1
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
 
 MODEL_REGISTRY: dict[str, type] = {
     "TemporalCRN": TemporalCRN,
+    # the reference ships two models named TemporalCRN (CRN.py v1 and
+    # CRN_ELU.py); train.py imports the ELU one. The v1 family member
+    # gets a distinct section name here.
+    "TemporalCRN_v1": TemporalCRNv1,
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,

@@ -70,6 +70,9 @@ class StreamingModel:
             f"n_fft={n_fft} gives {self.stft_cfg.num_freqs} bins, config says {num_freqs}"
         )
         self.remat = remat
+        # network compute dtype (subclasses may set bf16; STFT, mask
+        # apply, and losses stay f32 regardless)
+        self.cdtype = jnp.dtype(jnp.float32)
 
     # -- subclass API -------------------------------------------------
     def init(self, key):
@@ -112,7 +115,7 @@ class StreamingModel:
         if not flag:
             pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
             mixture = jnp.concatenate([pad, mixture], axis=-1)
-            state = self.init_state(b, mixture.dtype)
+            state = self.init_state(b, self.cdtype)
 
         x, gap = self.preprocessing(mixture)  # [N, B, M, F, T, 2]
 

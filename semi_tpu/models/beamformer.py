@@ -255,6 +255,28 @@ class GeneralBeamformer(StreamingModel):
         return StreamingModel.realtime_process(self, params, state, mixture,
                                                flag)
 
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        """Multi-stream runtime with a traced per-stream ``reset_mask[B]``
+        (contract: TemporalCRN.realtime_process_batched; warm-up lead-in
+        is the data pipeline's job). Conv ring buffers are batch-first;
+        the covariance GRUs fold F into batch (``[B*F]`` rows, index
+        b*F+f — see ``to_gru``), so their reset mask repeats per stream.
+        """
+        from semi_tpu.models.base import select_reset
+
+        b = mixture.shape[0]
+        fresh = self.init_state(b, mixture.dtype)
+        mask_f = jnp.repeat(reset_mask, self.num_freqs)
+        state = {
+            "convs": select_reset(state["convs"], fresh["convs"], reset_mask),
+            "gru_s": select_reset(state["gru_s"], fresh["gru_s"], mask_f),
+            "gru_n": select_reset(state["gru_n"], fresh["gru_n"], mask_f),
+        }
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        return wav, state
+
 
 class MVDRBeamformer:
     """Mask-based MVDR (fullsubnet.py:25-174) in native complex64."""

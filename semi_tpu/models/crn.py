@@ -22,20 +22,27 @@ from semi_tpu.layers.rnn import SequenceModel
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 
-__all__ = ["TemporalCRN"]
+__all__ = ["TemporalCRN", "TemporalCRNv1"]
+
+EPS = 1e-8  # reference CRN.py:11
 
 
 class TemporalCRN(StreamingModel):
     def __init__(self, num_channels, num_freqs, hidden, segment_length,
                  num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
                  sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
-                 activation="ELU", remat=True, use_pallas_gru=False):
+                 activation="ELU", remat=True, use_pallas_gru=False,
+                 compute_dtype="float32"):
         super().__init__(segment_length, num_freqs, sample_rate, win_length,
                          hop_length, n_fft, remat=remat)
         self.num_inputs = num_inputs
         # inference-only: fused full-sequence GRU kernel (no per-chunk
         # gradient truncation -> keep False for training)
         self.use_pallas_gru = use_pallas_gru
+        # mixed precision: f32 master params/STFT/mask-apply/losses with
+        # the conv/GRU/deconv network in ``compute_dtype`` (bf16 doubles
+        # MXU throughput on v5e; matmuls still accumulate in f32)
+        self.cdtype = jnp.dtype(compute_dtype)
         feat_ch = 2 * num_inputs - 1  # M magnitudes + (M-1) phase diffs
 
         # 3 frequency-dilated residual pre-convs (CRN_ELU.py:335-340)
@@ -84,7 +91,8 @@ class TemporalCRN(StreamingModel):
             "deconvs": [m.init(next(it)) for m in self.deconvs],
         }
 
-    def init_state(self, batch: int, dtype=jnp.float32):
+    def init_state(self, batch: int, dtype=None):
+        dtype = self.cdtype if dtype is None else dtype
         return {
             "preconvs": [m.init_state(batch, num_freqs=self.num_freqs, dtype=dtype)
                          for m in self.preconvs],
@@ -100,10 +108,19 @@ class TemporalCRN(StreamingModel):
         mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2 + 1e-10)
         return jnp.concatenate([mag, ipd], axis=1)
 
+    def _cast(self, tree):
+        """Cast params/activations to the network compute dtype (no-op
+        at f32). Gradients flow back through the cast, so master params
+        and the optimizer stay f32."""
+        if self.cdtype == jnp.float32:
+            return tree
+        return jax.tree.map(lambda p: p.astype(self.cdtype), tree)
+
     def forward(self, params, state, x):
         # x: [B, M, F, T, 2]
         noisy = x[:, 0]  # [B, F, T, 2]
-        h = self.features(x)
+        params = self._cast(params)
+        h = self._cast(self.features(x))
 
         new_pre = []
         for m, p, st in zip(self.preconvs, params["preconvs"], state["preconvs"]):
@@ -128,7 +145,7 @@ class TemporalCRN(StreamingModel):
             h, _ = m.apply(p, {}, h, res=residuals[idx])
             idx -= 1
         h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
-        mask = h.transpose(0, 2, 3, 1)  # [B, F, T, 2]
+        mask = h.transpose(0, 2, 3, 1).astype(jnp.float32)  # [B, F, T, 2]
 
         mask = decompress_cirm(mask)
         er, ei = complex_mul(mask[..., 0], mask[..., 1], noisy[..., 0], noisy[..., 1])
@@ -149,7 +166,8 @@ class TemporalCRN(StreamingModel):
         """
         n, b, m, f, t, _ = x.shape
         noisy = x[:, :, 0]  # [N, B, F, T, 2]
-        h = self.features(x.reshape((n * b,) + x.shape[2:]))
+        params = self._cast(params)
+        h = self._cast(self.features(x.reshape((n * b,) + x.shape[2:])))
         h = h.reshape((n, b) + h.shape[1:])  # [N, B, C, F, T]
 
         new_pre = []
@@ -178,7 +196,8 @@ class TemporalCRN(StreamingModel):
             h, _ = mod.apply(p, {}, h, res=res.reshape((n * b,) + res.shape[2:]))
             idx -= 1
         h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
-        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2)
+        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2) \
+            .astype(jnp.float32)
 
         mask = decompress_cirm(mask)
         er, ei = complex_mul(mask[..., 0], mask[..., 1],
@@ -192,7 +211,7 @@ class TemporalCRN(StreamingModel):
         if not flag:
             pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
             mixture = jnp.concatenate([pad, mixture], axis=-1)
-            state = self.init_state(b, mixture.dtype)
+            state = self.init_state(b)
         x, gap = self.preprocessing(mixture)
         preds, state = self.forward_stacked(params, state, x)
         wav = self.postprocessing(preds, gap)
@@ -220,8 +239,7 @@ class TemporalCRN(StreamingModel):
         from semi_tpu.models.base import select_reset
 
         b = mixture.shape[0]
-        state = select_reset(state, self.init_state(b, mixture.dtype),
-                             reset_mask)
+        state = select_reset(state, self.init_state(b), reset_mask)
         x, gap = self.preprocessing(mixture)
         preds, state = self.forward_stacked(params, state, x)
         wav = self.postprocessing(preds, gap)
@@ -323,7 +341,8 @@ class TemporalCRN(StreamingModel):
             feats.append(ft)
             idx -= 1
         h, _ = self.deconvs[-1].apply(params["deconvs"][-1], {}, h)
-        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2)
+        mask = h.reshape(n, b, 2, f, t).transpose(0, 1, 3, 4, 2) \
+            .astype(jnp.float32)
 
         mask = decompress_cirm(mask)
         er, ei = complex_mul(mask[..., 0], mask[..., 1],
@@ -351,3 +370,54 @@ class TemporalCRN(StreamingModel):
         if not flag:
             wav = wav[..., self.segment_length // 2:]
         return wav, feats, state
+
+
+class TemporalCRNv1(TemporalCRN):
+    """CRN v1 — the pre-ELU TemporalCRN (reference CRN.py:404-617).
+
+    Differences from the ELU flagship, kept verbatim:
+    - no frequency-dilated pre-convs (CRN.py has no preconv stack);
+    - plain ungated conv encoder blocks with ReLU (CRN.py:290-342 —
+      conv -> ReLU -> GlobalLayerNorm, no 1x1 trans/gate pair);
+    - arctan (not atan2) phase features (CRN.py:464);
+    - ReLU activations throughout (GRU output, decoder blocks).
+
+    Published reference numbers: SISDR 20.29 / STOI 0.9225 /
+    PESQ 2.6518 (reference README.md:45); superseded by the ELU
+    variant (README.md:52) but a distinct member of the model family.
+    All TemporalCRN runtimes (scan / stacked / multi-stream batched)
+    are inherited — only the layer composition differs.
+    """
+
+    def __init__(self, num_channels, num_freqs, hidden, segment_length,
+                 num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
+                 sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
+                 remat=True, use_pallas_gru=False):
+        super().__init__(num_channels, num_freqs, hidden, segment_length,
+                         num_layers, num_inputs, kernel_size, dropout,
+                         sample_rate, win_length, hop_length, n_fft,
+                         activation="ReLU", remat=remat,
+                         use_pallas_gru=use_pallas_gru)
+        self.preconvs = []
+        # rebuild the encoder ungated (the decoder, GRU, and geometry
+        # from the parent are already the v1 shapes at activation=ReLU)
+        feat_ch = 2 * num_inputs - 1
+        self.convs = []
+        self.enc_freqs = []
+        f = num_freqs
+        for i in range(len(num_channels)):
+            dt = 2 ** i
+            in_ch = feat_ch if i == 0 else num_channels[i - 1]
+            self.convs.append(TemporalConv2d(
+                in_ch, num_channels[i], (5, kernel_size), (2, 1), (1, dt),
+                (2, (kernel_size - 1) * dt), activation="ReLU", gated=False))
+            self.enc_freqs.append(f)
+            f = (f - 1) // 2 + 1
+
+    def features(self, x):
+        # arctan phase, kept verbatim from CRN.py:462-465 (the ELU
+        # variant moved to atan2; v1 predates it)
+        angle = jnp.arctan(x[..., 1] / (x[..., 0] + EPS) + EPS)
+        ipd = angle[:, :1] - angle[:, 1:]
+        mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2 + 1e-10)
+        return jnp.concatenate([mag, ipd], axis=1)

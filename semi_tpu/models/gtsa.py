@@ -163,6 +163,41 @@ class GTSA(StreamingModel):
         return StreamingModel.realtime_process(self, params, state, mixture,
                                                flag)
 
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        """Multi-stream runtime: B independent utterance streams with a
+        traced per-stream ``reset_mask[B]`` (see
+        TemporalCRN.realtime_process_batched for the contract; the
+        warm-up lead-in is the data pipeline's job).
+
+        GTSA's state batches on per-layer EFFECTIVE axes: even layers
+        fold the C=2M-1 channel axis into batch (``[B*C]`` sequences,
+        index b*C+c), odd layers the F axis (``[B*F]``), and attention
+        KV caches are additionally head-major (``[H*B*C, maxlen, d]``,
+        index h*B*C + b*C + c — layers/attention.py:51-60). The reset
+        mask expands accordingly: repeat over the folded axis, tile
+        over heads.
+        """
+        from semi_tpu.models.base import select_reset
+
+        b = mixture.shape[0]
+        fresh = self.init_state(b, mixture.dtype)
+        new_layers = []
+        for i, (mod, st, fr) in enumerate(
+                zip(self.layers, state["layers"], fresh["layers"])):
+            rep = self.feat_ch if i % 2 == 0 else self.num_freqs
+            mask = jnp.tile(jnp.repeat(reset_mask, rep),
+                            mod.attention.num_heads)
+            new_layers.append(select_reset(st, fr, mask))
+        state = {
+            "layers": new_layers,
+            "last_conv": select_reset(state["last_conv"],
+                                      fresh["last_conv"], reset_mask),
+        }
+        x, gap = self.preprocessing(mixture)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        return wav, state
+
     def compute_loss(self, source, pred, length):
         from semi_tpu.metrics.losses import pesq_loss, si_snr
 

@@ -341,6 +341,26 @@ class Generator(StreamingModel):
             wav_pre = wav_pre[..., self.segment_length // 2:]
         return wav_post, wav_pre, state
 
+    def realtime_process_batched(self, params, state, mixture, reset_mask,
+                                 post: bool = True):
+        """Multi-stream generator runtime: B independent utterance
+        streams with a traced per-stream ``reset_mask[B]`` (contract:
+        TemporalCRN.realtime_process_batched; warm-up lead-in is the
+        data pipeline's job). Generator state (conv ring buffers, LSTM
+        hidden) is batch-first, so the plain per-stream select works.
+        Returns ``(post_wav[B, L], pre_wav[B, L], state)``.
+        """
+        from semi_tpu.models.base import select_reset
+
+        b = mixture.shape[0]
+        state = select_reset(state, self.init_state(b, mixture.dtype),
+                             reset_mask)
+        x, gap = self.preprocessing(mixture)
+        posts, pres, state = self.forward_stacked(params, state, x, post=post)
+        wav_post = self.postprocessing(posts, gap)
+        wav_pre = self.postprocessing(pres, gap)
+        return wav_post, wav_pre, state
+
     def realtime_process_scan(self, params, state, mixture, post: bool = True,
                               reset: bool = False):
         """Chunk-scan runtime (kept for equivalence testing)."""

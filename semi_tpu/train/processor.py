@@ -153,10 +153,28 @@ class Processor:
         # B utterance streams per step, one compiled program
         self._batch_streams = cfg.get("batch_streams", 1)
         if self._batch_streams > 1:
+            if (not hasattr(self.model, "realtime_process_batched")
+                    or hasattr(self.model, "train_loss")):
+                raise SystemExit(
+                    f"error: denoise.batch_streams={self._batch_streams} "
+                    f"but model '{self.modelname}' has no multi-stream "
+                    f"batched runtime (models with a fused train_loss, "
+                    f"e.g. DistillationCRN, train stream-serially); set "
+                    f"batch_streams: 1")
             from semi_tpu.train.step import make_batched_train_step
 
             self._batched_train_fn = jax.jit(
                 make_batched_train_step(self.model, accum, max_grad_norm))
+        # "utterance" mode folds K mixed batches of B whole utterances
+        # into ONE jit dispatch (relay-dispatch-bound environments;
+        # semi_tpu/train/utterance.py). "piece" keeps the per-piece
+        # streaming sampler.
+        self._batch_mode = cfg.get("batch_mode", "piece")
+        self._k_batches = cfg.get("k_batches", 8)
+        self._accum = accum
+        self._max_grad_norm = max_grad_norm
+        self._train_utt_fn = None  # built lazily (needs dataset attributes)
+        self._eval_utt_fn = None
 
         # mid-epoch restart: Step.json marks a partial epoch to continue
         start_epoch = self.epoch + 1
@@ -192,6 +210,8 @@ class Processor:
 
     def _run_epoch(self, ts: TrainState, mode: str, epoch: int,
                    start_index: int = 0) -> TrainState:
+        if self._batch_streams > 1 and self._batch_mode == "utterance":
+            return self._run_epoch_utterance(ts, epoch)
         if self._batch_streams > 1:
             return self._run_epoch_batched(ts, epoch)
         avg_step = self.config["config"].get("avg_step", 100)
@@ -247,14 +267,17 @@ class Processor:
         return ts
 
     def _run_epoch_batched(self, ts: TrainState, epoch: int) -> TrainState:
-        from semi_tpu.data.stream import MultiStreamSampler
+        # device-resident streams: mixing, utterance buffers, and piece
+        # slicing all stay on device; the host only uploads decoded wavs
+        # and per-step cursor vectors (semi_tpu/data/device_stream.py)
+        from semi_tpu.data.device_stream import DeviceStreamSampler
 
         avg_step = self.config["config"].get("avg_step", 100)
         b = self._batch_streams
         piece = self.config["denoise"].get("stream_piece_length", 16000)
         self.dataset.set_attribute("train", augment=False)
         self.dataset.init_seed(epoch + 1)
-        sampler = MultiStreamSampler(
+        sampler = DeviceStreamSampler(
             self.dataset, b, piece_length=piece,
             lead=self.model.segment_length // 2)
         model_state = self.model.init_state(b)
@@ -270,37 +293,108 @@ class Processor:
                 sums["sisnr"] += float(m["sisnr"])
             pending.clear()
 
-        from semi_tpu.data.prefetch import prefetch_map
-
-        def produce(_):
-            raw = sampler.next_batch()
-            return {"mix": jnp.asarray(raw["mix"]),
-                    "source": jnp.asarray(raw["source"]),
-                    "length": jnp.asarray(raw["length"]),
-                    "reset": jnp.asarray(raw["reset"])}
-
-        batches = prefetch_map(produce, range(num_batches), depth=4)
-        for i, batch in enumerate(batches):
-            ts, model_state, metrics = self._batched_train_fn(
-                ts, model_state, batch)
-            pending.append(metrics)
-            self.train_step_count += 1
-            if (i + 1) % avg_step == 0:
-                drain()
-                print(f"train[B={b}], Epoch: {epoch}, Step: "
-                      f"{self.train_step_count}\n"
-                      f"loss: {sums['loss']/avg_step:.4f}, "
-                      f"logmse: {sums['logmse']/avg_step:.4f}, "
-                      f"sisnr: {sums['sisnr']/avg_step:.4f}", flush=True)
-                for name in ("loss", "logmse", "sisnr"):
-                    self.writer.add_scalar(f"train_loss/train_{name}",
-                                           sums[name] / avg_step,
-                                           self.train_step_count)
-                    sums[name] = 0.0
+        try:
+            for i in range(num_batches):
+                batch = sampler.next_batch()
+                ts, model_state, metrics = self._batched_train_fn(
+                    ts, model_state, batch)
+                pending.append(metrics)
+                self.train_step_count += 1
+                if (i + 1) % avg_step == 0:
+                    drain()
+                    print(f"train[B={b}], Epoch: {epoch}, Step: "
+                          f"{self.train_step_count}\n"
+                          f"loss: {sums['loss']/avg_step:.4f}, "
+                          f"logmse: {sums['logmse']/avg_step:.4f}, "
+                          f"sisnr: {sums['sisnr']/avg_step:.4f}", flush=True)
+                    for name in ("loss", "logmse", "sisnr"):
+                        self.writer.add_scalar(f"train_loss/train_{name}",
+                                               sums[name] / avg_step,
+                                               self.train_step_count)
+                        sums[name] = 0.0
+        finally:
+            sampler.close()
         drain()
         return ts
 
+    def _run_epoch_utterance(self, ts: TrainState, epoch: int) -> TrainState:
+        from semi_tpu.train.utterance import (
+            UtteranceBatchSampler, make_utterance_train_step)
+
+        b, k = self._batch_streams, self._k_batches
+        avg_every = max(1, self.config["config"].get("avg_step", 100) // k)
+        self.dataset.set_attribute("train", augment=False)
+        self.dataset.init_seed(epoch + 1)
+        if self._train_utt_fn is None:
+            self._train_utt_fn = jax.jit(make_utterance_train_step(
+                self.model, self.dataset, k, self._accum,
+                self._max_grad_norm))
+        sampler = UtteranceBatchSampler(self.dataset, b, k)
+
+        num_calls = max(1, len(self.dataset) // (k * b))
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        names = (("loss", "loss"), ("logmse", "aux"), ("sisnr", "sisnr"))
+        try:
+            for i in range(num_calls):
+                ts, ms = self._train_utt_fn(ts, sampler.next_batch())
+                # synchronize EVERY call: queued relay dispatches degrade
+                # ~16x (docs/BENCHMARKS.md), so in-flight depth stays 1
+                for tag, key_ in names:
+                    sums[tag] += float(jnp.sum(ms[key_]))
+                self.train_step_count += k
+                if (i + 1) % avg_every == 0:
+                    denom = avg_every * k
+                    print(f"train[utt B={b} K={k}], Epoch: {epoch}, Step: "
+                          f"{self.train_step_count}\n"
+                          f"loss: {sums['loss']/denom:.4f}, "
+                          f"logmse: {sums['logmse']/denom:.4f}, "
+                          f"sisnr: {sums['sisnr']/denom:.4f}", flush=True)
+                    for tag, _ in names:
+                        self.writer.add_scalar(f"train_loss/train_{tag}",
+                                               sums[tag] / denom,
+                                               self.train_step_count)
+                        sums[tag] = 0.0
+        finally:
+            sampler.close()
+        return ts
+
+    def _run_epoch_dev_utterance(self, ts: TrainState, epoch: int,
+                                 stage_name: str):
+        from semi_tpu.train.utterance import (
+            UtteranceBatchSampler, make_utterance_eval_step)
+
+        b, k = self._batch_streams, self._k_batches
+        self.dataset.set_attribute("dev", augment=False)
+        self.dataset.init_seed(epoch + 1)
+        if self._eval_utt_fn is None:
+            self._eval_utt_fn = jax.jit(make_utterance_eval_step(
+                self.model, self.dataset))
+        sampler = UtteranceBatchSampler(self.dataset, b, k)
+        num_calls = max(1, len(self.dataset) // (k * b))
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        try:
+            for _ in range(num_calls):
+                ms = self._eval_utt_fn(ts.params, sampler.next_batch())
+                sums["loss"] += float(jnp.sum(ms["loss"]))
+                sums["logmse"] += float(jnp.sum(ms["aux"]))
+                sums["sisnr"] += float(jnp.sum(ms["sisnr"]))
+                self.dev_step_count += k
+        finally:
+            sampler.close()
+        count = num_calls * k
+        criterion = "logmse" if self.modelname == "DistillationCRN" else "loss"
+        dev_loss = sums[criterion] / count
+        for name in ("loss", "logmse", "sisnr"):
+            self.writer.add_scalar(f"dev_loss/dev_{name}", sums[name] / count,
+                                   self.dev_step_count)
+        if dev_loss < self.last_loss:
+            self.last_loss = dev_loss
+            self.save_modules(stage_name, ts, save_weights=True)
+        return ts, dev_loss
+
     def _run_epoch_dev(self, ts: TrainState, epoch: int, stage_name: str):
+        if self._batch_streams > 1 and self._batch_mode == "utterance":
+            return self._run_epoch_dev_utterance(ts, epoch, stage_name)
         self.dataset.set_attribute("dev", augment=False)
         self.dataset.init_seed(epoch + 1)
         self.dataset.buffer = []

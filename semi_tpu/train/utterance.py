@@ -1,0 +1,195 @@
+"""Whole-utterance fused training: mix + train K batches per dispatch.
+
+Why this exists: the TPU here sits behind a relay where every dispatch
+costs ~40 ms synchronized — and *queued* async dispatches degrade to
+~650 ms each (measured; see docs/BENCHMARKS.md), so a training loop
+made of many small calls is relay-bound no matter how fast the chip is.
+This module folds EVERYTHING — on-device mixing (RIR + noise at sampled
+SNR), warm-up lead-in, the streaming forward over all chunks, loss,
+backprop, grad accumulation, and the optimizer — into ONE jit program
+that processes K batches of B whole utterances per dispatch, then
+synchronizes. Dispatch overhead amortizes to <5% and the in-flight
+queue never exceeds one call.
+
+Semantics vs the reference trainer (train.py:179-223): the reference
+streams pieces of one utterance across dataloader items with flag
+continuation; state never crosses utterances. Training on whole
+utterances keeps the identical state flow (carried across chunks inside
+the program, reset between utterances) and the identical per-chunk
+TBPTT truncation (ring buffers/RNN state detach at chunk edges). The
+one deviation: the loss aggregates over a whole utterance instead of a
+random 1-3.75 s piece of it — documented in docs/PARITY.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_tpu.data.prefetch import ThreadPrefetcher
+from semi_tpu.train.optim import make_optimizer
+from semi_tpu.train.step import TrainState
+
+__all__ = ["make_utterance_train_step", "make_utterance_eval_step",
+           "UtteranceBatchSampler"]
+
+
+def _mixer_fn(dataset):
+    """The dataset's device mixer as a pure function (same math as the
+    piece pipeline — semi_tpu/data/dataset.py MixPipeline)."""
+    pipeline = dataset.pipeline
+
+    def mix(key, clean, noise_wav, snr_low, snr_high):
+        return pipeline._mix_impl(
+            key, clean, noise_wav,
+            jnp.asarray(snr_low, jnp.float32),
+            jnp.asarray(snr_high, jnp.float32),
+            augment=dataset.do_augment, noise=dataset.do_noise)
+
+    return mix
+
+
+def _mixed_batch(model, mixer, lead, snr, batch_k):
+    """One batch of B utterances: device mix -> (mix, target, length)."""
+    clean, noise_wav, keys, utt_len = batch_k
+
+    def mix_one(key, c, nz):
+        return mixer(key, c, nz, snr[0], snr[1])
+
+    mix, source, _ = jax.vmap(mix_one)(keys, clean, noise_wav)
+    # the model-side flag=False warm-up window becomes a per-utterance
+    # zero lead-in (stream.py design note); target gets the same lead so
+    # prediction and target stay aligned
+    mix = jnp.pad(mix, ((0, 0), (0, 0), (lead, 0)))
+    target = jnp.pad(source[:, 0, 0], ((0, 0), (lead, 0)))
+    return mix, target, utt_len + lead
+
+
+def make_utterance_train_step(model, dataset, k_batches: int,
+                              accum_every: int = 2,
+                              max_grad_norm: float = 5.0):
+    """Returns ``step(ts, inputs) -> (ts, metrics[K])`` — ONE jit program
+    covering K mixed batches of B whole utterances each.
+
+    ``inputs``: {clean [K,B,spk,L], noise [K,B,L], key [K,B,2],
+    utt_len [K,B]} (L = dataset.mix_len). Mixing SNR bounds and augment
+    flags are baked from the dataset's current attributes.
+    """
+    tx = make_optimizer(max_grad_norm)
+    mixer = _mixer_fn(dataset)
+    lead = model.segment_length // 2
+    snr = (float(dataset.snr_low), float(dataset.snr_high))
+
+    def one_batch(ts: TrainState, batch_k):
+        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
+        b = mix.shape[0]
+
+        def loss_fn(params):
+            state = model.init_state(b)
+            pred, _ = model.realtime_process_batched(
+                params, state, mix, jnp.ones((b,), bool))
+            loss, aux, sisnr = model.compute_loss(target, pred, length)
+            return loss, (aux, sisnr)
+
+        (loss, (aux, sisnr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+
+        acc = jax.tree.map(lambda a, g: a + g / accum_every,
+                           ts.grad_accum, grads)
+        count = ts.accum_count + 1
+
+        def apply_update(_):
+            updates, opt_state = tx.update(acc, ts.opt_state, ts.params)
+            new_params = jax.tree.map(
+                lambda p, u: p - ts.plateau.lr * u, ts.params, updates)
+            return new_params, opt_state, \
+                jax.tree.map(jnp.zeros_like, acc), jnp.zeros((), jnp.int32)
+
+        def skip_update(_):
+            return ts.params, ts.opt_state, acc, count
+
+        new_params, opt_state, new_acc, new_count = jax.lax.cond(
+            count >= accum_every, apply_update, skip_update, None)
+        new_ts = TrainState(
+            params=new_params, opt_state=opt_state, grad_accum=new_acc,
+            accum_count=new_count, plateau=ts.plateau, step=ts.step + 1)
+        return new_ts, {"loss": loss, "aux": aux, "sisnr": sisnr}
+
+    def step(ts: TrainState, inputs):
+        xs = (inputs["clean"], inputs["noise"], inputs["key"],
+              inputs["utt_len"])
+        return jax.lax.scan(lambda t, x: one_batch(t, x), ts, xs)
+
+    return step
+
+
+def make_utterance_eval_step(model, dataset):
+    """``eval(params, inputs) -> metrics[K]`` — mixed + scored on device,
+    same program shape as the train step minus gradients."""
+    mixer = _mixer_fn(dataset)
+    lead = model.segment_length // 2
+    snr = (float(dataset.snr_low), float(dataset.snr_high))
+
+    def one_batch(params, batch_k):
+        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
+        b = mix.shape[0]
+        state = model.init_state(b)
+        pred, _ = model.realtime_process_batched(
+            params, state, mix, jnp.ones((b,), bool))
+        loss, aux, sisnr = model.compute_loss(target, pred, length)
+        return {"loss": loss, "aux": aux, "sisnr": sisnr}
+
+    def step(params, inputs):
+        xs = (inputs["clean"], inputs["noise"], inputs["key"],
+              inputs["utt_len"])
+        _, ms = jax.lax.scan(lambda c, x: (c, one_batch(params, x)), None, xs)
+        return ms
+
+    return step
+
+
+class UtteranceBatchSampler:
+    """Assembles {clean [K,B,spk,L], noise [K,B,L], key [K,B,2],
+    utt_len [K,B]} input blocks on a producer thread (decode + numpy
+    only — all mixing happens inside the fused step program)."""
+
+    def __init__(self, dataset, batch: int, k_batches: int,
+                 start_index: int = 0, prefetch_depth: int = 2):
+        self.dataset = dataset
+        self.batch = batch
+        self.k = k_batches
+
+        def gen():
+            i = start_index
+            while True:
+                yield self._assemble(i)
+                i += self.k * self.batch
+
+        self._it = ThreadPrefetcher(gen(), depth=prefetch_depth)
+
+    def _assemble(self, index0: int) -> dict:
+        ds = self.dataset
+        k, b = self.k, self.batch
+        clean = np.zeros((k, b, ds.spk_num, ds.mix_len), np.float32)
+        noise = np.zeros((k, b, ds.mix_len), np.float32)
+        keys = np.zeros((k, b, 2), np.uint32)
+        lens = np.zeros((k, b), np.int32)
+        idx = index0
+        for i in range(k):
+            for j in range(b):
+                c, nz, key, ul = ds.utterance_inputs(idx)
+                clean[i, j], noise[i, j] = c, nz
+                keys[i, j] = np.asarray(key, np.uint32)
+                lens[i, j] = ul
+                idx += 1
+        return {"clean": clean, "noise": noise, "key": keys, "utt_len": lens}
+
+    def next_batch(self) -> dict:
+        return next(self._it)
+
+    def close(self) -> None:
+        self._it.close()

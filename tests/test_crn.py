@@ -149,3 +149,110 @@ def test_pallas_gru_kernel_interpret():
     y, hf = gru2_chunk(*args, h0, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hf), np.asarray(h_ref), atol=1e-6)
+
+
+def test_crn_v1_scan_stacked_equivalence():
+    """CRN v1 (ungated ReLU convs, arctan phase, no pre-convs): the
+    stacked-parallel runtime must equal the chunk-serial scan, and the
+    architecture must differ from the ELU flagship in exactly the v1
+    ways (no preconvs, no conv gates)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semi_tpu.models.crn import TemporalCRNv1
+
+    m = TemporalCRNv1(num_channels=[4, 8], num_freqs=201, hidden=16,
+                      segment_length=3200, num_layers=1, num_inputs=3)
+    assert m.preconvs == []
+    params = m.init(jax.random.PRNGKey(0))
+    assert params["preconvs"] == []
+    assert "gate" not in params["convs"][0]  # ungated plain conv blocks
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9600)) * 0.1
+    y_par, st_par = m.realtime_process(params, None, x, flag=False)
+    y_scan, st_scan = m.realtime_process_scan(params, None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y_par), np.asarray(y_scan),
+                               atol=3e-5)
+    for a, b in zip(jax.tree.leaves(st_par), jax.tree.leaves(st_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    # continuation: flag=True picks up the carried state
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4800)) * 0.1
+    y2_par, _ = m.realtime_process(params, st_par, x2, flag=True)
+    y2_scan, _ = m.realtime_process_scan(params, st_scan, x2, flag=True)
+    np.testing.assert_allclose(np.asarray(y2_par), np.asarray(y2_scan),
+                               atol=3e-5)
+
+
+def test_crn_v1_registry_and_config():
+    """TemporalCRN_v1 is registered and its config.yaml section
+    constructs it (keys-are-kwargs contract)."""
+    from semi_tpu.models import build_model
+    from semi_tpu.utils.config import load_config
+
+    cfg = load_config("config.yaml")
+    m = build_model("TemporalCRN_v1", cfg["TemporalCRN_v1"])
+    assert m.preconvs == []
+
+
+def test_crn_bf16_compute_path():
+    """compute_dtype=bfloat16: network runs bf16 (state pytree is bf16),
+    boundaries stay f32 (pred + master grads), and outputs track the f32
+    path within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semi_tpu.models.crn import TemporalCRN
+
+    kw = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+              segment_length=3200, num_layers=1, num_inputs=3)
+    m32 = TemporalCRN(**kw)
+    m16 = TemporalCRN(**kw, compute_dtype="bfloat16")
+    params = m32.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+
+    y32, _ = m32.realtime_process(params, None, x, flag=False)
+    y16, st16 = m16.realtime_process(params, None, x, flag=False)
+    assert y16.dtype == jnp.float32  # f32 boundary at the mask apply
+    assert st16["gru"]["h"].dtype == jnp.bfloat16
+    # bf16 has ~3 decimal digits; outputs are O(0.1)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=0.02)
+
+    # gradients flow back to f32 master params through the casts
+    def loss_fn(p):
+        y, _ = m16.realtime_process(p, None, x, flag=False)
+        l, _, _ = m16.compute_loss(x[:, 0], y, jnp.asarray([x.shape[-1]]))
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_crn_bf16_batched_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semi_tpu.models.crn import TemporalCRN
+    from semi_tpu.train.step import init_train_state, make_batched_train_step
+
+    m = TemporalCRN(num_channels=[4, 8], num_freqs=201, hidden=16,
+                    segment_length=3200, num_layers=1, num_inputs=3,
+                    compute_dtype="bfloat16")
+    params = m.init(jax.random.PRNGKey(0))
+    ts = init_train_state(params, 3e-4)
+    step = jax.jit(make_batched_train_step(m, accum_every=2))
+    state = m.init_state(2)
+    batch = {
+        "mix": jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8000)) * 0.1,
+        "source": jax.random.normal(jax.random.PRNGKey(2), (2, 8000)) * 0.1,
+        "length": jnp.full((2,), 8000, jnp.int32),
+        "reset": jnp.asarray([True, True]),
+    }
+    ts, state, metrics = step(ts, state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree.leaves(ts.params)[0].dtype == jnp.float32

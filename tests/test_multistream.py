@@ -168,3 +168,127 @@ def test_fullsubnet_batched_streams():
 
     np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(ya2[0]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(yb2[0]), atol=3e-5)
+
+
+def test_gtsa_batched_streams():
+    """GTSA per-stream isolation: batched == independent runs, including
+    a mid-run reset of only one stream (KV caches fold channels/freqs
+    and heads into the batch axis — the expanded reset masks must hit
+    exactly the right rows)."""
+    from semi_tpu.models.gtsa import GTSA
+
+    m = GTSA(num_mics=3, num_freqs=201, segment_length=3200, num_layers=2,
+             fn_dim=32, maxlen=30)
+    params = m.init(jax.random.PRNGKey(0))
+    p = 4800
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 3, p)) * 0.1
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 3, p)) * 0.1
+
+    st = m.init_state(2)
+    _, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[0], xb[0]]), jnp.asarray([True, True]))
+    y2, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[1], xb[1]]), jnp.asarray([False, True]))
+
+    sa = m.init_state(1)
+    _, sa = m.realtime_process_batched(params, sa, xa[0][None],
+                                       jnp.asarray([True]))
+    ya2, _ = m.realtime_process_batched(params, sa, xa[1][None],
+                                        jnp.asarray([False]))
+    sb = m.init_state(1)
+    _, sb = m.realtime_process_batched(params, sb, xb[0][None],
+                                       jnp.asarray([True]))
+    yb2, _ = m.realtime_process_batched(params, sb, xb[1][None],
+                                        jnp.asarray([True]))
+
+    np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(ya2[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(yb2[0]), atol=3e-5)
+
+
+def test_beamformer_batched_streams():
+    from semi_tpu.models.beamformer import GeneralBeamformer
+
+    m = GeneralBeamformer(num_channels=[4, 8], num_freqs=201, hidden=8,
+                          segment_length=3200, num_layers=1, num_inputs=3)
+    params = m.init(jax.random.PRNGKey(0))
+    p = 4800
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 3, p)) * 0.1
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 3, p)) * 0.1
+
+    st = m.init_state(2)
+    _, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[0], xb[0]]), jnp.asarray([True, True]))
+    y2, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[1], xb[1]]), jnp.asarray([False, True]))
+
+    sa = m.init_state(1)
+    _, sa = m.realtime_process_batched(params, sa, xa[0][None],
+                                       jnp.asarray([True]))
+    ya2, _ = m.realtime_process_batched(params, sa, xa[1][None],
+                                        jnp.asarray([False]))
+    sb = m.init_state(1)
+    _, sb = m.realtime_process_batched(params, sb, xb[0][None],
+                                       jnp.asarray([True]))
+    yb2, _ = m.realtime_process_batched(params, sb, xb[1][None],
+                                        jnp.asarray([True]))
+
+    np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(ya2[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(yb2[0]), atol=3e-5)
+
+
+def test_hifigan_generator_batched_streams():
+    from semi_tpu.models.hifigan import Generator
+
+    # 4 levels: the bottleneck dim hard-codes //16 (hifigan.py:489 parity)
+    m = Generator(num_channels=[2, 4, 4, 8], num_freqs=201, hidden=16,
+                  segment_length=3200, num_layers=1, num_inputs=3)
+    params = m.init(jax.random.PRNGKey(0))
+    p = 4800
+    xa = jax.random.normal(jax.random.PRNGKey(1), (2, 3, p)) * 0.1
+    xb = jax.random.normal(jax.random.PRNGKey(2), (2, 3, p)) * 0.1
+
+    st = m.init_state(2)
+    _, _, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[0], xb[0]]), jnp.asarray([True, True]))
+    y2, y2pre, st = m.realtime_process_batched(
+        params, st, jnp.stack([xa[1], xb[1]]), jnp.asarray([False, True]))
+
+    sa = m.init_state(1)
+    _, _, sa = m.realtime_process_batched(params, sa, xa[0][None],
+                                          jnp.asarray([True]))
+    ya2, ya2pre, _ = m.realtime_process_batched(params, sa, xa[1][None],
+                                                jnp.asarray([False]))
+    sb = m.init_state(1)
+    _, _, sb = m.realtime_process_batched(params, sb, xb[0][None],
+                                          jnp.asarray([True]))
+    yb2, _, _ = m.realtime_process_batched(params, sb, xb[1][None],
+                                           jnp.asarray([True]))
+
+    np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(ya2[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(yb2[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(y2pre[0]), np.asarray(ya2pre[0]),
+                               atol=3e-5)
+
+
+def test_processor_rejects_unsupported_batch_streams(tmp_path):
+    """batch_streams>1 with a fused-train-loss model fails fast with a
+    clear error instead of an AttributeError mid-epoch."""
+    import copy
+    import yaml
+
+    import pytest
+
+    from semi_tpu.train.processor import Processor
+    from tests.test_trainer import TINY_CONFIG
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["checkpoint_dir"] = str(tmp_path / "m")
+    cfg["config"]["log_dir"] = str(tmp_path / "l")
+    cfg["denoise"]["batch_streams"] = 2
+    # distillation taps need the full 4-level encoder (crn.py:234)
+    cfg["TemporalCRN"]["num_channels"] = [2, 2, 4, 4]
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    proc = Processor("DistillationCRN", str(p), user_defined_name="bad")
+    with pytest.raises(SystemExit, match="batched runtime"):
+        proc.train(stage=0, resume=False)
