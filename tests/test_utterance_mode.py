@@ -42,10 +42,12 @@ def test_utterance_step_matches_batched_runtime():
     mixer = ds.pipeline
     mixes, targets, lengths = [], [], []
     for j in range(2):
+        # inputs travel as int16 (utterance.py H2D note): dequantize the
+        # same way the fused program does
         mix, source, _ = mixer(
             jnp.asarray(inputs["key"][0, j]),
-            jnp.asarray(inputs["clean"][0, j]),
-            jnp.asarray(inputs["noise"][0, j]),
+            jnp.asarray(inputs["clean"][0, j], jnp.float32) / 32768.0,
+            jnp.asarray(inputs["noise"][0, j], jnp.float32) / 32768.0,
             ds.snr_low, ds.snr_high,
             augment=ds.do_augment, noise=ds.do_noise)
         mixes.append(jnp.pad(mix, ((0, 0), (lead, 0))))
