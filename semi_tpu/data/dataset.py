@@ -270,6 +270,64 @@ class LibriPartyDataset:
         key = jax.random.PRNGKey(int(rng.integers(2**31)))
         return clean, noise_wav, key, utt_len
 
+    def corpus_tables(self):
+        """Decode the ACTIVE split's whole corpus into fixed tables for
+        the device-resident cache (semi_tpu/train/utterance.py
+        DeviceCorpus): ``(clean_i16 [Nc, mix_len], clean_len [Nc],
+        noise_i16 [Nn, Lmax], noise_len [Nn])``. Noise rows are
+        pre-extended with the crossfade loop exactly as
+        ``_load_noise`` would (extend_noise is deterministic), so
+        index+offset lookups reproduce the array path bit-for-bit
+        (int16 quantization aside — source wavs are 16-bit)."""
+        assert self._have_real_data(), "device corpus needs CSV manifests"
+        csv = self.all_csv[self.dataset]
+        nc = len(csv["clean"])
+        clean = np.zeros((nc, self.mix_len), np.int16)
+        clean_len = np.zeros(nc, np.int32)
+        for i, p in enumerate(csv["clean"]):
+            wav = self._read_cached(p)
+            n = min(len(wav), self.mix_len)
+            clean[i, :n] = np.clip(wav[:n] * 32768.0, -32768, 32767)
+            clean_len[i] = len(wav)
+        noises = []
+        for p in csv["noise"]:
+            wav = extend_noise(self._read_cached(p), self.mix_len,
+                               self.sample_rate)
+            noises.append(wav)
+        lmax = max(len(w) for w in noises)
+        noise = np.zeros((len(noises), lmax), np.int16)
+        noise_len = np.zeros(len(noises), np.int32)
+        for i, w in enumerate(noises):
+            noise[i, :len(w)] = np.clip(w * 32768.0, -32768, 32767)
+            noise_len[i] = len(w)
+        return clean, clean_len, noise, noise_len
+
+    def utterance_meta(self, index: int, clean_len: np.ndarray,
+                       noise_len: np.ndarray):
+        """Index-only twin of :meth:`utterance_inputs` for the device
+        corpus: replays the SAME rng chain (draw for draw) but returns
+        ``(clean_idx [spk], noise_idx, noise_off, key, utt_len)``
+        instead of decoded arrays. Equivalence pinned by
+        tests/test_utterance_mode.py."""
+        assert not self.do_perturb, "speed perturb needs the array path"
+        rng = self._rng(index)
+        clean_idx = []
+        for _ in range(self.spk_num):
+            # mirrors _load_clean's too-short retry loop
+            while True:
+                i = int(rng.integers(len(clean_len)))
+                if clean_len[i] >= 16000:
+                    break
+            clean_idx.append(i)
+        utt_len = int(min(max(clean_len[i] for i in clean_idx),
+                          self.mix_len))
+        i_n = int(rng.integers(len(noise_len)))
+        ln = int(noise_len[i_n])
+        off = int(rng.integers(ln - self.mix_len + 1)) \
+            if ln > self.mix_len else 0
+        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        return (np.asarray(clean_idx, np.int32), i_n, off, key, utt_len)
+
     def _make_utterance(self, index: int):
         clean, noise_wav, key, utt_len = self.utterance_inputs(index)
         mix, source, noise = self.pipeline(

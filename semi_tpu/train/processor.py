@@ -175,6 +175,7 @@ class Processor:
         self._max_grad_norm = max_grad_norm
         self._train_utt_fn = None  # built lazily (needs dataset attributes)
         self._eval_utt_fn = None
+        self._corpora = {}  # split -> DeviceCorpus
 
         # mid-epoch restart: Step.json marks a partial epoch to continue
         start_epoch = self.epoch + 1
@@ -317,26 +318,46 @@ class Processor:
         drain()
         return ts
 
+    def _utterance_corpus(self, split: str):
+        """Device-resident corpus per split (built once, reused across
+        epochs; semi_tpu/train/utterance.py DeviceCorpus)."""
+        if not self.dataset._have_real_data():
+            return None
+        if split not in self._corpora:
+            from semi_tpu.train.utterance import DeviceCorpus
+
+            print(f"uploading {split} corpus to device...", flush=True)
+            self._corpora[split] = DeviceCorpus(self.dataset)
+        return self._corpora[split]
+
     def _run_epoch_utterance(self, ts: TrainState, epoch: int) -> TrainState:
         from semi_tpu.train.utterance import (
-            UtteranceBatchSampler, make_utterance_train_step)
+            UtteranceBatchSampler, UtteranceMetaSampler,
+            make_utterance_train_step)
 
         b, k = self._batch_streams, self._k_batches
         avg_every = max(1, self.config["config"].get("avg_step", 100) // k)
         self.dataset.set_attribute("train", augment=False)
         self.dataset.init_seed(epoch + 1)
+        corpus = self._utterance_corpus("train")
         if self._train_utt_fn is None:
             self._train_utt_fn = jax.jit(make_utterance_train_step(
                 self.model, self.dataset, k, self._accum,
-                self._max_grad_norm))
-        sampler = UtteranceBatchSampler(self.dataset, b, k)
+                self._max_grad_norm, use_corpus=corpus is not None))
+        if corpus is not None:
+            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k)
+            run = lambda t, inp: self._train_utt_fn(  # noqa: E731
+                t, corpus.clean, corpus.noise, inp)
+        else:
+            sampler = UtteranceBatchSampler(self.dataset, b, k)
+            run = self._train_utt_fn
 
         num_calls = max(1, len(self.dataset) // (k * b))
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
         names = (("loss", "loss"), ("logmse", "aux"), ("sisnr", "sisnr"))
         try:
             for i in range(num_calls):
-                ts, ms = self._train_utt_fn(ts, sampler.next_batch())
+                ts, ms = run(ts, sampler.next_batch())
                 # synchronize EVERY call: queued relay dispatches degrade
                 # ~16x (docs/BENCHMARKS.md), so in-flight depth stays 1
                 for tag, key_ in names:
@@ -361,20 +382,28 @@ class Processor:
     def _run_epoch_dev_utterance(self, ts: TrainState, epoch: int,
                                  stage_name: str):
         from semi_tpu.train.utterance import (
-            UtteranceBatchSampler, make_utterance_eval_step)
+            UtteranceBatchSampler, UtteranceMetaSampler,
+            make_utterance_eval_step)
 
         b, k = self._batch_streams, self._k_batches
         self.dataset.set_attribute("dev", augment=False)
         self.dataset.init_seed(epoch + 1)
+        corpus = self._utterance_corpus("dev")
         if self._eval_utt_fn is None:
             self._eval_utt_fn = jax.jit(make_utterance_eval_step(
-                self.model, self.dataset))
-        sampler = UtteranceBatchSampler(self.dataset, b, k)
+                self.model, self.dataset, use_corpus=corpus is not None))
+        if corpus is not None:
+            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k)
+            run = lambda p, inp: self._eval_utt_fn(  # noqa: E731
+                p, corpus.clean, corpus.noise, inp)
+        else:
+            sampler = UtteranceBatchSampler(self.dataset, b, k)
+            run = self._eval_utt_fn
         num_calls = max(1, len(self.dataset) // (k * b))
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
         try:
             for _ in range(num_calls):
-                ms = self._eval_utt_fn(ts.params, sampler.next_batch())
+                ms = run(ts.params, sampler.next_batch())
                 sums["loss"] += float(jnp.sum(ms["loss"]))
                 sums["logmse"] += float(jnp.sum(ms["aux"]))
                 sums["sisnr"] += float(jnp.sum(ms["sisnr"]))

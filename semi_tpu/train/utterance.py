@@ -53,12 +53,49 @@ def _mixer_fn(dataset):
     return mix
 
 
+class DeviceCorpus:
+    """The split's decoded corpus resident on device.
+
+    The relay's real sustained H2D bandwidth is low enough that
+    re-uploading ~30 MB of wavs per fused call dominated the step
+    budget. The corpus itself is small (a few hundred MB int16), so it
+    is uploaded ONCE — per-call inputs shrink to index/offset/key
+    vectors (a few KB) and the fused program gathers rows on device.
+    """
+
+    def __init__(self, dataset, chunk_rows: int = 256):
+        clean, clean_len, noise, noise_len = dataset.corpus_tables()
+        self.clean_len = clean_len
+        self.noise_len = noise_len
+        # upload through jit ARGS in chunks (device_put is pathological
+        # on this link) and concatenate on device
+        upload = jax.jit(lambda x: x + jnp.zeros((), x.dtype))
+        self.clean = jnp.concatenate(
+            [upload(clean[i:i + chunk_rows])
+             for i in range(0, len(clean), chunk_rows)])
+        self.noise = jnp.concatenate(
+            [upload(noise[i:i + chunk_rows])
+             for i in range(0, len(noise), chunk_rows)])
+        jax.block_until_ready((self.clean, self.noise))
+
+
+def _gather_inputs(corpus_clean, corpus_noise, meta, mix_len):
+    """Device gather: meta indices -> (clean [B,spk,L], noise [B,L])."""
+    clean = corpus_clean[meta["clean_idx"]]  # [B, spk, L] int16
+    rows = corpus_noise[meta["noise_idx"]]   # [B, Lmax] int16
+
+    def slice_one(row, off):
+        return jax.lax.dynamic_slice_in_dim(row, off, mix_len)
+
+    noise = jax.vmap(slice_one)(rows, meta["noise_off"])
+    return clean, noise
+
+
 def _mixed_batch(model, mixer, lead, snr, batch_k):
     """One batch of B utterances: device mix -> (mix, target, length)."""
     clean, noise_wav, keys, utt_len = batch_k
-    # wavs travel host->device as int16 (the relay link sustains ~2x
-    # the f32-equivalent bandwidth on int16; source files are 16-bit,
-    # so the quantization is lossless for real corpora)
+    # wavs travel host->device as int16 (lossless for 16-bit corpora;
+    # and the device corpus stores int16 rows)
     clean = clean.astype(jnp.float32) / 32768.0
     noise_wav = noise_wav.astype(jnp.float32) / 32768.0
 
@@ -76,18 +113,24 @@ def _mixed_batch(model, mixer, lead, snr, batch_k):
 
 def make_utterance_train_step(model, dataset, k_batches: int,
                               accum_every: int = 2,
-                              max_grad_norm: float = 5.0):
+                              max_grad_norm: float = 5.0,
+                              use_corpus: bool = False):
     """Returns ``step(ts, inputs) -> (ts, metrics[K])`` — ONE jit program
     covering K mixed batches of B whole utterances each.
 
-    ``inputs``: {clean [K,B,spk,L], noise [K,B,L], key [K,B,2],
-    utt_len [K,B]} (L = dataset.mix_len). Mixing SNR bounds and augment
-    flags are baked from the dataset's current attributes.
+    Array mode (``use_corpus=False``): ``inputs`` = {clean [K,B,spk,L]
+    int16, noise [K,B,L] int16, key [K,B,2], utt_len [K,B]}.
+    Corpus mode: ``step(ts, corpus_clean, corpus_noise, inputs)`` with
+    ``inputs`` = {clean_idx [K,B,spk], noise_idx [K,B], noise_off
+    [K,B], key [K,B,2], utt_len [K,B]} — per-call H2D is a few KB.
+    Mixing SNR bounds and augment flags bake from the dataset's current
+    attributes.
     """
     tx = make_optimizer(max_grad_norm)
     mixer = _mixer_fn(dataset)
     lead = model.segment_length // 2
     snr = (float(dataset.snr_low), float(dataset.snr_high))
+    mix_len = dataset.mix_len
 
     def one_batch(ts: TrainState, batch_k):
         mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
@@ -124,20 +167,34 @@ def make_utterance_train_step(model, dataset, k_batches: int,
             accum_count=new_count, plateau=ts.plateau, step=ts.step + 1)
         return new_ts, {"loss": loss, "aux": aux, "sisnr": sisnr}
 
-    def step(ts: TrainState, inputs):
-        xs = (inputs["clean"], inputs["noise"], inputs["key"],
-              inputs["utt_len"])
-        return jax.lax.scan(lambda t, x: one_batch(t, x), ts, xs)
+    if not use_corpus:
+        def step(ts: TrainState, inputs):
+            xs = (inputs["clean"], inputs["noise"], inputs["key"],
+                  inputs["utt_len"])
+            return jax.lax.scan(lambda t, x: one_batch(t, x), ts, xs)
 
-    return step
+        return step
+
+    def step_corpus(ts: TrainState, corpus_clean, corpus_noise, inputs):
+        def body(t, meta):
+            clean, noise = _gather_inputs(corpus_clean, corpus_noise,
+                                          meta, mix_len)
+            return one_batch(t, (clean, noise, meta["key"],
+                                 meta["utt_len"]))
+
+        return jax.lax.scan(body, ts, inputs)
+
+    return step_corpus
 
 
-def make_utterance_eval_step(model, dataset):
+def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
     """``eval(params, inputs) -> metrics[K]`` — mixed + scored on device,
-    same program shape as the train step minus gradients."""
+    same program shape as the train step minus gradients (corpus mode:
+    ``eval(params, corpus_clean, corpus_noise, inputs)``)."""
     mixer = _mixer_fn(dataset)
     lead = model.segment_length // 2
     snr = (float(dataset.snr_low), float(dataset.snr_high))
+    mix_len = dataset.mix_len
 
     def one_batch(params, batch_k):
         mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
@@ -148,13 +205,27 @@ def make_utterance_eval_step(model, dataset):
         loss, aux, sisnr = model.compute_loss(target, pred, length)
         return {"loss": loss, "aux": aux, "sisnr": sisnr}
 
-    def step(params, inputs):
-        xs = (inputs["clean"], inputs["noise"], inputs["key"],
-              inputs["utt_len"])
-        _, ms = jax.lax.scan(lambda c, x: (c, one_batch(params, x)), None, xs)
+    if not use_corpus:
+        def step(params, inputs):
+            xs = (inputs["clean"], inputs["noise"], inputs["key"],
+                  inputs["utt_len"])
+            _, ms = jax.lax.scan(lambda c, x: (c, one_batch(params, x)),
+                                 None, xs)
+            return ms
+
+        return step
+
+    def step_corpus(params, corpus_clean, corpus_noise, inputs):
+        def body(c, meta):
+            clean, noise = _gather_inputs(corpus_clean, corpus_noise,
+                                          meta, mix_len)
+            return c, one_batch(params, (clean, noise, meta["key"],
+                                         meta["utt_len"]))
+
+        _, ms = jax.lax.scan(body, None, inputs)
         return ms
 
-    return step
+    return step_corpus
 
 
 class UtteranceBatchSampler:
@@ -193,6 +264,55 @@ class UtteranceBatchSampler:
                 lens[i, j] = ul
                 idx += 1
         return {"clean": clean, "noise": noise, "key": keys, "utt_len": lens}
+
+    def next_batch(self) -> dict:
+        return next(self._it)
+
+    def close(self) -> None:
+        self._it.close()
+
+
+class UtteranceMetaSampler:
+    """Index-only sampler for the device corpus: assembles
+    {clean_idx [K,B,spk], noise_idx [K,B], noise_off [K,B], key [K,B,2],
+    utt_len [K,B]} — per-call H2D of a few KB. Replays the array
+    sampler's exact rng chain via ``dataset.utterance_meta``."""
+
+    def __init__(self, dataset, corpus: DeviceCorpus, batch: int,
+                 k_batches: int, start_index: int = 0,
+                 prefetch_depth: int = 2):
+        self.dataset = dataset
+        self.corpus = corpus
+        self.batch = batch
+        self.k = k_batches
+
+        def gen():
+            i = start_index
+            while True:
+                yield self._assemble(i)
+                i += self.k * self.batch
+
+        self._it = ThreadPrefetcher(gen(), depth=prefetch_depth)
+
+    def _assemble(self, index0: int) -> dict:
+        ds, co = self.dataset, self.corpus
+        k, b = self.k, self.batch
+        ci = np.zeros((k, b, ds.spk_num), np.int32)
+        ni = np.zeros((k, b), np.int32)
+        off = np.zeros((k, b), np.int32)
+        keys = np.zeros((k, b, 2), np.uint32)
+        lens = np.zeros((k, b), np.int32)
+        idx = index0
+        for i in range(k):
+            for j in range(b):
+                c_idx, n_idx, n_off, key, ul = ds.utterance_meta(
+                    idx, co.clean_len, co.noise_len)
+                ci[i, j], ni[i, j], off[i, j] = c_idx, n_idx, n_off
+                keys[i, j] = np.asarray(key, np.uint32)
+                lens[i, j] = ul
+                idx += 1
+        return {"clean_idx": ci, "noise_idx": ni, "noise_off": off,
+                "key": keys, "utt_len": lens}
 
     def next_batch(self) -> dict:
         return next(self._it)

@@ -88,3 +88,74 @@ def test_processor_utterance_mode(tmp_path):
 
     d = tmp_path / "m" / "denoise" / "um"
     assert os.path.exists(d / "TemporalCRN.npz")
+
+
+def _tiny_real_dataset(tmp_path):
+    """A real CSV-manifested corpus (6 clean + 3 noise wavs) so the
+    device-corpus path activates."""
+    import os
+
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.data.wav import write_wav
+
+    rng = np.random.default_rng(7)
+    cfg = copy.deepcopy(TINY_CONFIG)
+    csvs = {}
+    for kind, n, lo, hi in (("clean", 6, 34000, 64000),
+                            ("noise", 3, 40000, 90000)):
+        paths = []
+        for i in range(n):
+            w = (0.3 * rng.standard_normal(int(rng.integers(lo, hi)))
+                 ).astype(np.float32)
+            p = os.path.join(tmp_path, f"{kind}_{i}.wav")
+            write_wav(p, w, 16000)
+            paths.append(p)
+        c = os.path.join(tmp_path, f"{kind}.csv")
+        with open(c, "w") as f:
+            f.write("path\n" + "\n".join(paths) + "\n")
+        csvs[kind] = [c]
+    cfg["dataset"] = {"train": csvs, "dev": csvs, "test": csvs}
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(1)
+    return ds
+
+
+def test_corpus_mode_matches_array_mode(tmp_path):
+    """Device-corpus (index-only H2D) metrics == array-mode metrics:
+    utterance_meta must replay utterance_inputs' rng chain draw for
+    draw, and the on-device gather must reproduce the decoded wavs."""
+    from semi_tpu.models.crn import TemporalCRN
+    from semi_tpu.train.utterance import (
+        DeviceCorpus, UtteranceBatchSampler, UtteranceMetaSampler,
+        make_utterance_eval_step)
+
+    ds = _tiny_real_dataset(str(tmp_path))
+    assert ds._have_real_data()
+    m = TemporalCRN(**TINY_CONFIG["TemporalCRN"])
+    params = m.init(jax.random.PRNGKey(0))
+
+    s_arr = UtteranceBatchSampler(ds, batch=2, k_batches=2)
+    try:
+        arr_inputs = s_arr.next_batch()
+    finally:
+        s_arr.close()
+    ev_arr = jax.jit(make_utterance_eval_step(m, ds))
+    ms_arr = ev_arr(params, arr_inputs)
+
+    corpus = DeviceCorpus(ds)
+    s_meta = UtteranceMetaSampler(ds, corpus, batch=2, k_batches=2)
+    try:
+        meta_inputs = s_meta.next_batch()
+    finally:
+        s_meta.close()
+    ev_cor = jax.jit(make_utterance_eval_step(m, ds, use_corpus=True))
+    ms_cor = ev_cor(params, corpus.clean, corpus.noise, meta_inputs)
+
+    np.testing.assert_array_equal(meta_inputs["utt_len"],
+                                  arr_inputs["utt_len"])
+    np.testing.assert_array_equal(meta_inputs["key"], arr_inputs["key"])
+    for k in ("loss", "aux", "sisnr"):
+        np.testing.assert_allclose(np.asarray(ms_cor[k]),
+                                   np.asarray(ms_arr[k]),
+                                   rtol=3e-3, atol=1e-4)
