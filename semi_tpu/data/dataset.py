@@ -267,7 +267,12 @@ class LibriPartyDataset:
         utt_len = min(max(len(w) for w in cleans), self.mix_len)
 
         noise_wav = self._load_noise(rng, self.mix_len)
-        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        # pure-numpy twin of jax.random.PRNGKey (threefry layout
+        # [hi, lo]): creating a real PRNGKey here would round-trip the
+        # device link TWICE per utterance (H2D create + D2H read) from
+        # the producer thread -- ~4 s per 128-utterance block on this
+        # relay. Seeds are < 2**31 so hi is always 0.
+        key = np.asarray([0, rng.integers(2**31)], np.uint32)
         return clean, noise_wav, key, utt_len
 
     def corpus_tables(self):
@@ -325,7 +330,12 @@ class LibriPartyDataset:
         ln = int(noise_len[i_n])
         off = int(rng.integers(ln - self.mix_len + 1)) \
             if ln > self.mix_len else 0
-        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        # pure-numpy twin of jax.random.PRNGKey (threefry layout
+        # [hi, lo]): creating a real PRNGKey here would round-trip the
+        # device link TWICE per utterance (H2D create + D2H read) from
+        # the producer thread -- ~4 s per 128-utterance block on this
+        # relay. Seeds are < 2**31 so hi is always 0.
+        key = np.asarray([0, rng.integers(2**31)], np.uint32)
         return (np.asarray(clean_idx, np.int32), i_n, off, key, utt_len)
 
     def _make_utterance(self, index: int):
