@@ -262,20 +262,30 @@ class SequenceModel(Module):
 
         ``use_pallas=True`` runs the whole recurrent sequence in ONE
         fused TPU kernel (inference only: it does not truncate gradients
-        at chunk boundaries; 2-layer GRU only)."""
+        at chunk boundaries; 2-layer GRU/LSTM — ops/pallas/rnn_seq.py,
+        grid-pipelined so any T and row count work)."""
         n, b, f, t = x.shape
         y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
-        if use_pallas and isinstance(self.rnn, GRU) and self.rnn.num_layers == 2:
-            from semi_tpu.ops.pallas.gru import gru2_chunk
-
+        if use_pallas and self.rnn.num_layers == 2:
             p0, p1 = params["rnn"]
             gi1 = jnp.einsum("nbtf,gf->nbtg", y, p0["w_ih"]) + p0["b_ih"]
             gi1 = gi1.transpose(0, 2, 1, 3).reshape(n * t, b, -1)
-            ys, h_last = gru2_chunk(
-                gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T, p1["b_ih"],
-                p1["w_hh"].T, p1["b_hh"], state["h"])
+            if isinstance(self.rnn, GRU):
+                from semi_tpu.ops.pallas.rnn_seq import gru2_seq
+
+                ys, h_last = gru2_seq(
+                    gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T,
+                    p1["b_ih"], p1["w_hh"].T, p1["b_hh"], state["h"])
+                new_state = {"h": h_last}
+            else:
+                from semi_tpu.ops.pallas.rnn_seq import lstm2_seq
+
+                ys, h_last, c_last = lstm2_seq(
+                    gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T,
+                    p1["b_ih"], p1["w_hh"].T, p1["b_hh"],
+                    state["h"], state["c"])
+                new_state = {"h": h_last, "c": c_last}
             y = ys.reshape(n, t, b, -1).transpose(0, 2, 1, 3)
-            new_state = {"h": h_last}
         else:
             y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
         if self.linear:

@@ -204,11 +204,35 @@ class _FSSequence(Module):
             y = self.act(y)
         return y.transpose(0, 2, 1), new_state
 
-    def apply_stacked(self, params, state, x):
+    def apply_stacked(self, params, state, x, use_pallas: bool = False):
         """x: ``[N, B, F, T]`` stacked chunks (recurrent core chunk-serial,
-        projections batched)."""
+        projections batched). ``use_pallas=True`` fuses the recurrent
+        sequence into one TPU kernel (inference only, 2-layer;
+        ops/pallas/rnn_seq.py — built for the B*201-row sub-band
+        batch)."""
+        n, b, f, t = x.shape
         y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
-        y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
+        if use_pallas and self.rnn.num_layers == 2:
+            from semi_tpu.layers.rnn import GRU
+            from semi_tpu.ops.pallas.rnn_seq import gru2_seq, lstm2_seq
+
+            p0, p1 = params["rnn"]
+            gi1 = jnp.einsum("nbtf,gf->nbtg", y, p0["w_ih"]) + p0["b_ih"]
+            gi1 = gi1.transpose(0, 2, 1, 3).reshape(n * t, b, -1)
+            if isinstance(self.rnn, GRU):
+                ys, h_last = gru2_seq(
+                    gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T,
+                    p1["b_ih"], p1["w_hh"].T, p1["b_hh"], state["h"])
+                new_state = {"h": h_last}
+            else:
+                ys, h_last, c_last = lstm2_seq(
+                    gi1, p0["w_hh"].T, p0["b_hh"], p1["w_ih"].T,
+                    p1["b_ih"], p1["w_hh"].T, p1["b_hh"],
+                    state["h"], state["c"])
+                new_state = {"h": h_last, "c": c_last}
+            y = ys.reshape(n, t, b, -1).transpose(0, 2, 1, 3)
+        else:
+            y, new_state = self.rnn.apply_stacked(params["rnn"], state, y)
         y = y @ params["fc"]["w"].T + params["fc"]["b"]
         if self.act is not None:
             y = self.act(y)
@@ -223,7 +247,7 @@ class FullSubNet(StreamingModel):
                  norm_type="offline_laplace_norm", num_groups_in_drop_band=2,
                  num_layers=2, weight_init=False, sample_rate=16000,
                  segment_length=3200, win_length=25, hop_length=10, n_fft=400,
-                 remat=True):
+                 remat=True, use_pallas_rnn=False):
         super().__init__(segment_length, num_freqs, sample_rate, win_length,
                          hop_length, n_fft, remat=remat)
         self.num_mics = num_mics
@@ -231,6 +255,8 @@ class FullSubNet(StreamingModel):
         self.fb_num_neighbors = fb_num_neighbors
         self.look_ahead = look_ahead
         self.norm_type = norm_type  # accepted-and-unused, as in the reference
+        # inference-only fused recurrent kernels (ops/pallas/rnn_seq.py)
+        self.use_pallas_rnn = use_pallas_rnn
 
         self.fb_model = _FSSequence(num_freqs * num_mics, num_freqs,
                                     fb_model_hidden_size, num_layers,
@@ -319,7 +345,8 @@ class FullSubNet(StreamingModel):
             {}, state["norm_fb"], noisy)
         fb_in = fb_in.reshape(n, bb, m * f, t)
         fb_out, fb_state = self.fb_model.apply_stacked(
-            params["fb"], state["fb"], fb_in)  # [N, B, F, T]
+            params["fb"], state["fb"], fb_in,
+            use_pallas=self.use_pallas_rnn)  # [N, B, F, T]
 
         flat = fb_out.reshape(n * bb, 1, f, t)
         fb_unf = unfold_subband(flat, self.fb_num_neighbors)
@@ -334,7 +361,8 @@ class FullSubNet(StreamingModel):
         sb_in = sb_in.reshape(n, bb * f, sb_in.shape[3], t)
 
         sb_mask, sb_state = self.sb_model.apply_stacked(
-            params["sb"], state["sb"], sb_in)
+            params["sb"], state["sb"], sb_in,
+            use_pallas=self.use_pallas_rnn)
         crm = sb_mask.reshape(n, bb, f, 2, t).transpose(0, 1, 3, 2, 4)
         new_state = {"fb": fb_state, "sb": sb_state,
                      "norm_fb": norm_fb_state, "norm_sb": norm_sb_state}

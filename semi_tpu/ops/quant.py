@@ -1,11 +1,18 @@
-"""Int8 weight quantization for inference.
+"""Int8 weight quantization for the distilled student.
 
 TPU-native analog of the reference's (commented) dynamic quantization
 of the distilled student's GRU/Linear weights to qint8
 (predict_distillation.py:37-39). Weight matrices are quantized
-per-output-channel symmetric int8; at apply time they dequantize into
-the matmul, halving weight memory traffic — the dominant cost for the
-0.8M-param student whose GRU weights are read every 10 ms frame.
+per-output-channel symmetric int8.
+
+Scope (honest): this is a CHECKPOINT/STORAGE format plus a quality
+experiment — the int8 round trip halves weight storage and lets the
+quality impact of 8-bit weights be measured (predict_distillation.py
+--quantize: +2.60 dB SI-SDR unchanged vs f32). The shipped inference
+path dequantizes to f32 BEFORE jit, so the compiled matmuls read f32
+weights; it does NOT reduce on-device weight memory traffic. A true
+int8-resident compute path (int8 HBM weights dequantized in the matmul
+epilogue, or a Pallas int8 kernel) is future work — see docs/ROADMAP.md.
 
 ``quantize_tree`` rewrites a params pytree in place: each targeted 2-D
 weight leaf becomes ``{"q": int8, "scale": f32[out, 1]}``;
