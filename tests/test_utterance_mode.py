@@ -159,3 +159,41 @@ def test_corpus_mode_matches_array_mode(tmp_path):
         np.testing.assert_allclose(np.asarray(ms_cor[k]),
                                    np.asarray(ms_arr[k]),
                                    rtol=3e-3, atol=1e-4)
+
+
+def test_utterance_train_step_fullsubnet():
+    """The fused utterance trainer is model-generic: FullSubNet (4-tuple
+    family) trains through it via its batched runtime + default-arg
+    compute_loss."""
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.models.fullsubnet import FullSubNet
+    from semi_tpu.train.step import init_train_state
+    from semi_tpu.train.utterance import (
+        UtteranceBatchSampler, make_utterance_train_step)
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["mix_length"] = 16000  # keep the CPU compile small
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(1)
+    m = FullSubNet(num_freqs=201, look_ahead=0, sequence_model="LSTM",
+                   fb_num_neighbors=0, sb_num_neighbors=15,
+                   fb_output_activate_function="ReLU",
+                   sb_output_activate_function=False,
+                   fb_model_hidden_size=12, sb_model_hidden_size=8,
+                   num_mics=3, num_layers=1, segment_length=3200)
+    params = m.init(jax.random.PRNGKey(0))
+    ts = init_train_state(params, 3e-4)
+    step = jax.jit(make_utterance_train_step(m, ds, k_batches=1,
+                                             accum_every=1))
+    sampler = UtteranceBatchSampler(ds, batch=2, k_batches=1)
+    try:
+        ts2, ms = step(ts, sampler.next_batch())
+    finally:
+        sampler.close()
+    assert np.all(np.isfinite(np.asarray(ms["loss"])))
+    # parameters actually moved
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)))
+    assert moved
