@@ -205,9 +205,16 @@ class LibriPartyDataset:
 
     # -- item generation -----------------------------------------------
     def _rng(self, index: int) -> np.random.Generator:
+        # stable split hash: python str hash() is SALTED per process
+        # (PYTHONHASHSEED), which silently made every process draw a
+        # different mixture set — train resumes and eval runs were not
+        # reproducible across invocations
+        import zlib
+
+        split_tag = zlib.crc32(self.dataset.encode()) & 0x7FFFFFFF
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, self.epoch, index,
-                                    hash(self.dataset) & 0x7FFFFFFF]))
+                                    split_tag]))
 
     def _read_cached(self, path: str) -> np.ndarray:
         """Decoded-wav RAM cache. The corpus is a few thousand files

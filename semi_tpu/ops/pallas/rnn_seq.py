@@ -9,6 +9,11 @@ Round-2 generalization of ops/pallas/gru.py (VERDICT round-1 weak #5):
   row count works (rows R ride the sublane dim: B for the CRN
   bottleneck, B*201 sub-band rows for FullSubNet — the workload this
   kernel exists for, models/fullsubnet.py sub-band LSTM).
+- **Weights stay in HBM (`ANY`) and are DMA'd into VMEM scratch ONCE**
+  at the first grid step: blocked inputs are double-buffered by the
+  pipeline, which for the 3 x [H, G*H] weight matrices would double
+  their VMEM footprint and overflow the ~16 MB core at H=512, R=32
+  (observed). A single manual copy sidesteps the pipeline entirely.
 - **LSTM cell** in addition to GRU (FullSubNet's sequence model).
 - **Full-f32 recurrent matmuls** (``precision=HIGHEST``): the round-1
   kernel's default-precision dots let the MXU truncate inputs to bf16,
@@ -19,11 +24,6 @@ Round-2 generalization of ops/pallas/gru.py (VERDICT round-1 weak #5):
 Inference-only by design: the fused sequence does not truncate
 gradients at chunk boundaries, so training keeps the lax.scan path
 (layers/rnn.py) with its per-chunk detach semantics.
-
-VMEM budget: weights 3 x [H, G*H] f32 stay resident (GRU H=512: 9 MB;
-LSTM H=384: 7 MB; LSTM H=512: 12 MB) + one [R, G*H] step block + 2-4
-[R, H] scratch states — fits a ~16 MB v5e core for every model config
-shipped here.
 """
 
 from __future__ import annotations
@@ -61,18 +61,28 @@ def _lstm_cell(gi, gh, h, c):
     return jax.nn.sigmoid(o) * jnp.tanh(c_new), c_new
 
 
+def _load_weights(w_refs, w_scratch, sem):
+    """One-time HBM->VMEM copy of the recurrent weight matrices."""
+    for w_ref, w_s in zip(w_refs, w_scratch):
+        cp = pltpu.make_async_copy(w_ref, w_s, sem)
+        cp.start()
+        cp.wait()
+
+
 def _gru_kernel(gi1_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref, whh2_ref,
-                bhh2_ref, h0_ref, y_ref, hout_ref, h1_s, h2_s):
+                bhh2_ref, h0_ref, y_ref, hout_ref,
+                w1_s, w2_s, w3_s, h1_s, h2_s, sem):
     @pl.when(pl.program_id(0) == 0)
     def _init():
+        _load_weights((whh1_ref, wih2_ref, whh2_ref), (w1_s, w2_s, w3_s), sem)
         h1_s[:] = h0_ref[0]
         h2_s[:] = h0_ref[1]
 
     h1 = h1_s[:]
     h2 = h2_s[:]
-    h1n = _gru_cell(gi1_ref[0], _dot(h1, whh1_ref[:]) + bhh1_ref[:], h1)
-    gi2 = _dot(h1n, wih2_ref[:]) + bih2_ref[:]
-    h2n = _gru_cell(gi2, _dot(h2, whh2_ref[:]) + bhh2_ref[:], h2)
+    h1n = _gru_cell(gi1_ref[0], _dot(h1, w1_s[:]) + bhh1_ref[:], h1)
+    gi2 = _dot(h1n, w2_s[:]) + bih2_ref[:]
+    h2n = _gru_cell(gi2, _dot(h2, w3_s[:]) + bhh2_ref[:], h2)
     h1_s[:] = h1n
     h2_s[:] = h2n
     y_ref[0] = h2n
@@ -81,9 +91,11 @@ def _gru_kernel(gi1_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref, whh2_ref,
 
 
 def _lstm_kernel(gi1_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref, whh2_ref,
-                 bhh2_ref, hc0_ref, y_ref, hcout_ref, h1_s, c1_s, h2_s, c2_s):
+                 bhh2_ref, hc0_ref, y_ref, hcout_ref,
+                 w1_s, w2_s, w3_s, h1_s, c1_s, h2_s, c2_s, sem):
     @pl.when(pl.program_id(0) == 0)
     def _init():
+        _load_weights((whh1_ref, wih2_ref, whh2_ref), (w1_s, w2_s, w3_s), sem)
         h1_s[:] = hc0_ref[0]
         c1_s[:] = hc0_ref[1]
         h2_s[:] = hc0_ref[2]
@@ -91,10 +103,10 @@ def _lstm_kernel(gi1_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref, whh2_ref,
 
     h1, c1 = h1_s[:], c1_s[:]
     h2, c2 = h2_s[:], c2_s[:]
-    h1n, c1n = _lstm_cell(gi1_ref[0], _dot(h1, whh1_ref[:]) + bhh1_ref[:],
+    h1n, c1n = _lstm_cell(gi1_ref[0], _dot(h1, w1_s[:]) + bhh1_ref[:],
                           h1, c1)
-    gi2 = _dot(h1n, wih2_ref[:]) + bih2_ref[:]
-    h2n, c2n = _lstm_cell(gi2, _dot(h2, whh2_ref[:]) + bhh2_ref[:], h2, c2)
+    gi2 = _dot(h1n, w2_s[:]) + bih2_ref[:]
+    h2n, c2n = _lstm_cell(gi2, _dot(h2, w3_s[:]) + bhh2_ref[:], h2, c2)
     h1_s[:], c1_s[:] = h1n, c1n
     h2_s[:], c2_s[:] = h2n, c2n
     y_ref[0] = h2n
@@ -107,17 +119,14 @@ def _lstm_kernel(gi1_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref, whh2_ref,
 def _call(kernel, gi1, weights, state0, n_state, interpret):
     t, r, gh = gi1.shape
     h = weights[0].shape[0]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec = lambda: pl.BlockSpec((gh,), lambda i: (0,))  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, r, gh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((h, gh), lambda i: (0, 0)),
-            pl.BlockSpec((gh,), lambda i: (0,)),
-            pl.BlockSpec((h, gh), lambda i: (0, 0)),
-            pl.BlockSpec((gh,), lambda i: (0,)),
-            pl.BlockSpec((h, gh), lambda i: (0, 0)),
-            pl.BlockSpec((gh,), lambda i: (0,)),
+            any_spec, vec(), any_spec, vec(), any_spec, vec(),
             pl.BlockSpec((n_state, r, h), lambda i: (0, 0, 0)),
         ],
         out_specs=(
@@ -128,7 +137,11 @@ def _call(kernel, gi1, weights, state0, n_state, interpret):
             jax.ShapeDtypeStruct((t, r, h), jnp.float32),
             jax.ShapeDtypeStruct((n_state, r, h), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((r, h), jnp.float32)] * n_state,
+        scratch_shapes=(
+            [pltpu.VMEM((h, gh), jnp.float32)] * 3
+            + [pltpu.VMEM((r, h), jnp.float32)] * n_state
+            + [pltpu.SemaphoreType.DMA]
+        ),
         interpret=interpret,
     )(gi1, *weights, state0)
 
