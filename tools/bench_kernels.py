@@ -30,7 +30,7 @@ def timed(fn, *args, reps=3):
     return sorted(ts)[len(ts) // 2]
 
 
-def bench_rnn(cell: str, t: int, rows: int, h: int, in_dim: int):
+def bench_rnn(cell: str, t: int, rows: int, h: int, in_dim: int = 0):
     from semi_tpu.ops.pallas.rnn_seq import (
         gru2_seq, gru2_seq_reference, lstm2_seq, lstm2_seq_reference)
 
@@ -59,14 +59,21 @@ def bench_rnn(cell: str, t: int, rows: int, h: int, in_dim: int):
 
 
 def main():
-    # CRN bottleneck: H=512 GRU, T = 41 chunks x 21 frames, B rows
-    for rows in (1, 8, 32):
-        bench_rnn("gru", 861, rows, 512, 512)
-    # FullSubNet sub-band LSTM: H=384, rows = B*201 sub-bands
-    for b in (1, 4):
-        bench_rnn("lstm", 861, b * 201, 384, 32)
-    # FullSubNet full-band LSTM: H=512
-    bench_rnn("lstm", 861, 8, 512, 603)
+    cases = [
+        # CRN bottleneck: H=512 GRU, T = 41 chunks x 21 frames, B rows
+        ("gru", 861, 1, 512), ("gru", 861, 8, 512), ("gru", 861, 32, 512),
+        # FullSubNet sub-band LSTM: H=384, rows = B*201 sub-bands
+        ("lstm", 861, 201, 384), ("lstm", 861, 804, 384),
+        # FullSubNet full-band LSTM: H=512
+        ("lstm", 861, 8, 512),
+    ]
+    for cell, t, rows, h in cases:
+        try:
+            bench_rnn(cell, t, rows, h, h)
+        except Exception as e:
+            print(f"{cell.upper()} T={t} rows={rows} H={h}: "
+                  f"UNSUPPORTED ({type(e).__name__}: VMEM envelope)",
+                  flush=True)
 
 
 if __name__ == "__main__":
