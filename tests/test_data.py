@@ -1,5 +1,7 @@
 """Data pipeline tests: RIR physics, augmenters, dataset protocol."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -201,3 +203,38 @@ def test_fullsubnet_weight_init():
     np.testing.assert_allclose(g, np.eye(w.shape[1]), atol=1e-4)
     # biases zeroed
     assert float(np.abs(params["fb"]["fc"]["b"]).max()) == 0.0
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dataset_rng_stable_across_processes():
+    """The mixture stream must be identical across interpreter runs:
+    python's salted str hash() in the rng chain once made every process
+    draw different data (train resumes / eval runs irreproducible)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from semi_tpu.data.dataset import LibriPartyDataset\n"
+        "from tests.test_trainer import TINY_CONFIG\n"
+        "import copy\n"
+        "ds = LibriPartyDataset(copy.deepcopy(TINY_CONFIG))\n"
+        "ds.set_attribute('test', augment=False)\n"
+        "ds.init_seed(3)\n"
+        "r = ds._rng(7)\n"
+        "print(int(r.integers(2**31)))\n" % REPO
+    )
+    outs = []
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed,
+                   PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        p = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert p.returncode == 0, p.stderr[-800:]
+        outs.append(p.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1], outs
