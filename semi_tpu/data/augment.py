@@ -42,19 +42,32 @@ def compute_amplitude(x: jax.Array) -> jax.Array:
 
 def add_noise(key, clean: jax.Array, noise: jax.Array,
               snr_low: float = -5.0, snr_high: float = 25.0,
-              mix_prob: float = 1.0):
+              mix_prob: float = 1.0, length=None):
     """Mix ``noise`` into ``clean`` at a sampled SNR (augment.py:29-77).
 
     Shapes ``[..., L]`` (broadcastable). Returns (noisy, scaled_noise).
+
+    ``length``: active sample count along the last axis. The reference
+    mixes exact-length tensors; our device mixer zero-pads utterances to
+    a static ``mix_len``, which would dilute the mean-|x| amplitudes and
+    silently raise the realized SNR (~+2 dB at 80% fill) — masking the
+    amplitude estimate to the active region restores the reference's
+    convention under static shapes.
     """
     k_p, k_snr = jax.random.split(key)
     snr = jax.random.uniform(k_snr, ()) * (snr_high - snr_low) + snr_low
     factor = 1.0 / (10.0 ** (snr / 20.0) + 1.0)
-    clean_amp = jnp.mean(jnp.abs(clean))
+    if length is None:
+        clean_amp = jnp.mean(jnp.abs(clean))
+        noise_amp = jnp.mean(jnp.abs(noise))
+    else:
+        mask = (jnp.arange(clean.shape[-1]) < length).astype(clean.dtype)
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        clean_amp = jnp.mean(jnp.abs(clean) * mask) * clean.shape[-1] / denom
+        noise_amp = jnp.mean(jnp.abs(noise) * mask) * noise.shape[-1] / denom
     target_amp = factor * clean_amp
 
     scaled_clean = clean * (1.0 - factor)
-    noise_amp = jnp.mean(jnp.abs(noise))
     scaled_noise = noise * (target_amp / (noise_amp + 1e-8))
     noisy = scaled_clean + scaled_noise
 

@@ -58,9 +58,13 @@ class MixPipeline:
         self.mix_len = mix_len
         self._mix = jax.jit(self._mix_impl, static_argnames=("augment", "noise"))
 
-    def _mix_impl(self, key, clean, noise_wav, snr_low, snr_high,
+    def _mix_impl(self, key, clean, noise_wav, snr_low, snr_high, utt_len,
                   augment: bool, noise: bool):
-        """clean: [spk, L]; noise_wav: [L]. Returns (mix[M,L], source[spk,M,L], noise[M,L])."""
+        """clean: [spk, L]; noise_wav: [L]. Returns (mix[M,L], source[spk,M,L], noise[M,L]).
+
+        ``utt_len``: active samples of the padded buffers — add_noise
+        amplitude estimation masks to it (reference mixes exact-length
+        tensors; see augment.add_noise)."""
         cfg = self.room_cfg
         k_room, k_rir, k_aug, k_noise = jax.random.split(key, 4)
 
@@ -89,7 +93,8 @@ class MixPipeline:
             mix, noise_out = add_noise(
                 k_noise, mix, noise_multi,
                 snr_low=snr_low, snr_high=snr_high,
-                mix_prob=self.augment_cfg.get("addnoise", {}).get("mix_prob", 1.0))
+                mix_prob=self.augment_cfg.get("addnoise", {}).get("mix_prob", 1.0),
+                length=utt_len)
         else:
             noise_out = jnp.zeros_like(mix)
 
@@ -97,11 +102,12 @@ class MixPipeline:
         scale = jnp.where(peak >= MAX_AMP, MAX_AMP / (peak + 1e-10), 1.0)
         return mix * scale, source, noise_out
 
-    def __call__(self, key, clean, noise_wav, snr_low, snr_high,
+    def __call__(self, key, clean, noise_wav, snr_low, snr_high, utt_len,
                  augment: bool, noise: bool):
         return self._mix(key, clean, noise_wav,
                          jnp.asarray(snr_low, jnp.float32),
                          jnp.asarray(snr_high, jnp.float32),
+                         jnp.asarray(utt_len, jnp.int32),
                          augment=augment, noise=noise)
 
 
@@ -169,7 +175,12 @@ class LibriPartyDataset:
                     if os.path.exists(p):
                         import pandas as pd
                         df = pd.read_csv(p)
-                        rows.extend(df["path"].dropna().tolist())
+                        base = os.path.dirname(os.path.abspath(p))
+                        # manifests may carry paths relative to their own
+                        # directory (portable, committable) or absolute
+                        rows.extend(
+                            q if os.path.isabs(q) else os.path.join(base, q)
+                            for q in df["path"].dropna().tolist())
                 entry[kind] = rows
             out[split] = entry
         return out
@@ -349,7 +360,7 @@ class LibriPartyDataset:
         clean, noise_wav, key, utt_len = self.utterance_inputs(index)
         mix, source, noise = self.pipeline(
             key, jnp.asarray(clean), jnp.asarray(noise_wav),
-            self.snr_low, self.snr_high,
+            self.snr_low, self.snr_high, utt_len,
             augment=self.do_augment, noise=self.do_noise)
         return (np.asarray(mix), np.asarray(source), np.asarray(noise), utt_len)
 

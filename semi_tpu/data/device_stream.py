@@ -50,7 +50,7 @@ class DeviceStreamSampler:
 
     def __init__(self, dataset: LibriPartyDataset, num_streams: int,
                  piece_length: int = 16000, lead: int = 1600,
-                 prefetch_depth: int = 12):
+                 prefetch_depth: int = 12, start_index: int = 0):
         self.dataset = dataset
         self.num_streams = num_streams
         self.piece_length = piece_length
@@ -66,12 +66,13 @@ class DeviceStreamSampler:
         self._cursor = [0] * num_streams
         self._limit = [0] * num_streams
         self._fresh = [True] * num_streams
-        self._next_index = 0
+        self._next_index = start_index
 
-        # background decode: utterance_inputs(i) for i = 0, 1, 2, ... —
-        # the host-side cost (wav reads, numpy concat) off the hot loop
+        # background decode: utterance_inputs(i) for i = start_index,
+        # start_index+1, ... — the host-side cost (wav reads, numpy
+        # concat) off the hot loop. start_index supports mid-epoch resume.
         self._inputs = ThreadPrefetcher(
-            (dataset.utterance_inputs(i) for i in _count_from(0)),
+            (dataset.utterance_inputs(i) for i in _count_from(start_index)),
             depth=prefetch_depth)
 
         lead_ = lead
@@ -110,7 +111,7 @@ class DeviceStreamSampler:
         # (bit-identical values); outputs stay on device
         mix, source, _ = ds.pipeline(
             key, jnp.asarray(clean), jnp.asarray(noise_wav),
-            ds.snr_low, ds.snr_high,
+            ds.snr_low, ds.snr_high, utt_len,
             augment=ds.do_augment, noise=ds.do_noise)
         # the piece target is spk0/mic0 of the reverberant source
         # (stream.py:72); slice before scatter so only [mix_len] is stored

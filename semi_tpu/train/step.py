@@ -144,10 +144,18 @@ def make_eval_step(model, loss_kwargs: dict | None = None):
     loss_kwargs = loss_kwargs or {}
 
     def step(params, model_state, batch, flag: bool):
+        from semi_tpu.metrics.losses import stoi_loss
+
         pred, new_ms = model.realtime_process(
             params, model_state, batch["mix"], flag)
         loss, aux, sisnr = model.compute_loss(
             batch["source"], pred, batch["length"], **loss_kwargs)
-        return new_ms, {"loss": loss, "aux": aux, "sisnr": sisnr}, pred
+        # device-side dev oracle: eval-form STOI (the metric, not the
+        # weighted training objective) so best-checkpoint gating can
+        # track eval quality even when the loss saturates (reference
+        # dev-criterion switching, train_distillation.py:220)
+        stoi = -stoi_loss(batch["source"], pred, batch["length"])
+        return new_ms, {"loss": loss, "aux": aux, "sisnr": sisnr,
+                        "stoi": stoi}, pred
 
     return step

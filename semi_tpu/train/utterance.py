@@ -43,11 +43,12 @@ def _mixer_fn(dataset):
     piece pipeline — semi_tpu/data/dataset.py MixPipeline)."""
     pipeline = dataset.pipeline
 
-    def mix(key, clean, noise_wav, snr_low, snr_high):
+    def mix(key, clean, noise_wav, snr_low, snr_high, utt_len):
         return pipeline._mix_impl(
             key, clean, noise_wav,
             jnp.asarray(snr_low, jnp.float32),
             jnp.asarray(snr_high, jnp.float32),
+            jnp.asarray(utt_len, jnp.int32),
             augment=dataset.do_augment, noise=dataset.do_noise)
 
     return mix
@@ -99,10 +100,10 @@ def _mixed_batch(model, mixer, lead, snr, batch_k):
     clean = clean.astype(jnp.float32) / 32768.0
     noise_wav = noise_wav.astype(jnp.float32) / 32768.0
 
-    def mix_one(key, c, nz):
-        return mixer(key, c, nz, snr[0], snr[1])
+    def mix_one(key, c, nz, ul):
+        return mixer(key, c, nz, snr[0], snr[1], ul)
 
-    mix, source, _ = jax.vmap(mix_one)(keys, clean, noise_wav)
+    mix, source, _ = jax.vmap(mix_one)(keys, clean, noise_wav, utt_len)
     # the model-side flag=False warm-up window becomes a per-utterance
     # zero lead-in (stream.py design note); target gets the same lead so
     # prediction and target stay aligned
@@ -197,13 +198,17 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
     mix_len = dataset.mix_len
 
     def one_batch(params, batch_k):
+        from semi_tpu.metrics.losses import stoi_loss
+
         mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
         b = mix.shape[0]
         state = model.init_state(b)
         pred, _ = model.realtime_process_batched(
             params, state, mix, jnp.ones((b,), bool))
         loss, aux, sisnr = model.compute_loss(target, pred, length)
-        return {"loss": loss, "aux": aux, "sisnr": sisnr}
+        # eval-form STOI oracle for dev gating (see train/step.py note)
+        stoi = -stoi_loss(target, pred, length)
+        return {"loss": loss, "aux": aux, "sisnr": sisnr, "stoi": stoi}
 
     if not use_corpus:
         def step(params, inputs):
