@@ -68,7 +68,7 @@ def main():
     import jax.numpy as jnp
 
     from semi_tpu.metrics.losses import _pesq_item
-    from semi_tpu.metrics.pesq_itu import pesq_wb
+    from semi_tpu.metrics.pesq_itu import pesq_nb, pesq_wb
 
     rng = np.random.default_rng(7)
     conditions = (
@@ -80,20 +80,22 @@ def main():
     )
     n_utts = 4
     cleans = [make_speech(np.random.default_rng(100 + u)) for u in range(n_utts)]
-    oracle, approx, kinds = [], [], []
+    oracle, nb_oracle, approx, kinds = [], [], [], []
     for kind, level in conditions:
-        os_, as_ = [], []
+        os_, ns_, as_ = [], [], []
         for u, clean in enumerate(cleans):
             deg = degrade(np.random.default_rng(1000 + u), clean, kind, level)
             os_.append(pesq_wb(clean, deg))
+            ns_.append(pesq_nb(clean, deg))
             as_.append(float(_pesq_item(jnp.asarray(clean, jnp.float32),
                                         jnp.asarray(deg, jnp.float32))))
-        o, a = float(np.mean(os_)), float(np.mean(as_))
+        o, nbo, a = float(np.mean(os_)), float(np.mean(ns_)), float(np.mean(as_))
         oracle.append(o)
+        nb_oracle.append(nbo)
         approx.append(a)
         kinds.append(kind)
         print(f"{kind:8s} {level:8.2f}  oracle(MOS-LQO)={o:6.3f} "
-              f"approx(raw)={a:7.3f}", flush=True)
+              f"nb={nbo:6.3f} approx(raw)={a:7.3f}", flush=True)
 
     from scipy.stats import pearsonr, spearmanr
     o = np.array(oracle)
@@ -106,6 +108,12 @@ def main():
         print(f"\n{name}: n={len(o[sel])}")
         print(f"  Pearson r = {pr.statistic:.4f}  (p={pr.pvalue:.2e})")
         print(f"  Spearman rho = {sr.statistic:.4f}  (p={sr.pvalue:.2e})")
+    nb = np.array(nb_oracle)
+    # narrowband vs wideband: must RANK degradations consistently where
+    # the telephone band carries the damage (all conditions here do)
+    sr_nb = spearmanr(o, nb)
+    print(f"\nNB-vs-WB oracle Spearman rho = {sr_nb.statistic:.4f} "
+          f"(p={sr_nb.pvalue:.2e})")
     print("\n(delay rows: the oracle's time alignment holds the score at "
           "the ceiling; the frame-synchronous approximation collapses — "
           "the two are independent implementations.)")
