@@ -5,14 +5,13 @@ of the distilled student's GRU/Linear weights to qint8
 (predict_distillation.py:37-39). Weight matrices are quantized
 per-output-channel symmetric int8.
 
-Scope (honest): this is a CHECKPOINT/STORAGE format plus a quality
-experiment — the int8 round trip halves weight storage and lets the
-quality impact of 8-bit weights be measured (predict_distillation.py
---quantize: +2.60 dB SI-SDR unchanged vs f32). The shipped inference
-path dequantizes to f32 BEFORE jit, so the compiled matmuls read f32
-weights; it does NOT reduce on-device weight memory traffic. A true
-int8-resident compute path (int8 HBM weights dequantized in the matmul
-epilogue, or a Pallas int8 kernel) is future work — see docs/ROADMAP.md.
+Since round 3 the inference path is int8-RESIDENT: the jitted program
+takes the ``{"q": int8, "scale"}`` leaves as inputs (device weights
+stay int8 in HBM across calls) and ``dequantize_tree`` runs INSIDE the
+traced computation, where XLA fuses convert+scale into the consuming
+matmuls (predict_distillation.py --quantize; tools/bench_int8.py
+measures the streaming xRT and device weight bytes vs f32). Quality was
+verified lossless at this scale in round 2 (+2.60 dB SI-SDR unchanged).
 
 ``quantize_tree`` rewrites a params pytree in place: each targeted 2-D
 weight leaf becomes ``{"q": int8, "scale": f32[out, 1]}``;

@@ -100,3 +100,27 @@ def test_quantized_student_quality(distill):
     err = np.abs(a - b).max()
     sig = np.abs(a).max() + 1e-9
     assert err / sig < 0.15  # small perturbation, same signal
+
+
+def test_int8_resident_program(distill):
+    """The --quantize inference path is int8-RESIDENT: the compiled
+    program's parameter inputs include int8 leaves, dequantization is
+    traced INTO the program, and the output matches the pre-dequantized
+    run bit-for-bit (same math, different residency)."""
+    m, params = distill
+    q, _ = quantize_tree(params["student"])
+    dt = {str(leaf.dtype) for leaf in jax.tree_util.tree_leaves(q)}
+    assert "int8" in dt  # weights really stored as int8
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 3200)) * 0.1
+    run = jax.jit(lambda qp, xx: m.student.realtime_process(
+        dequantize_tree(qp), None, xx, flag=False)[0])
+    y_res = run(q, x)
+    y_pre, _ = m.student.realtime_process(dequantize_tree(q), None, x,
+                                          flag=False)
+    np.testing.assert_allclose(np.asarray(y_res), np.asarray(y_pre),
+                               rtol=2e-5, atol=1e-6)
+    # device-resident weight bytes roughly halve (int8 + f32 scales)
+    def nbytes(t):
+        return sum(l.size * l.dtype.itemsize
+                   for l in jax.tree_util.tree_leaves(t))
+    assert nbytes(q) < 0.7 * nbytes(params["student"])
