@@ -13,7 +13,7 @@ One producer thread, bounded queue: dataset/sampler objects are
 stateful (buffers, cursors, rng chains keyed by index), so production
 must stay sequential to preserve determinism — the overlap with device
 compute is where the win is, not host parallelism (intra-item decode
-parallelism is the native pool's job, semi_tpu/data/native.py).
+parallelism would need a free core this 1-CPU host lacks).
 """
 
 from __future__ import annotations
