@@ -36,12 +36,14 @@ class DistillationCRN:
     def __init__(self, num_channels, num_freqs, hidden, segment_length,
                  num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
                  sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
-                 path: str | None = None, remat=True):
+                 path: str | None = None, remat=True,
+                 compute_dtype="float32"):
         common = dict(num_freqs=num_freqs, segment_length=segment_length,
                       num_layers=num_layers, num_inputs=num_inputs,
                       kernel_size=kernel_size, dropout=dropout,
                       sample_rate=sample_rate, win_length=win_length,
-                      hop_length=hop_length, n_fft=n_fft, remat=remat)
+                      hop_length=hop_length, n_fft=n_fft, remat=remat,
+                      compute_dtype=compute_dtype)
         self.teacher = TemporalCRN(num_channels=num_channels, hidden=hidden,
                                    **common)
         self.student = TemporalCRN(num_channels=STUDENT_CHANNELS,
@@ -131,6 +133,35 @@ class DistillationCRN:
         loss, stoi, sisnr = self.student.compute_loss(clean, pred, length)
         loss = loss + self.distillation_loss(params["connectors"], ft, fs)
         return loss, stoi, sisnr, {"teacher": t_state, "student": s_state}
+
+    def utterance_loss(self, params, mix, target, length):
+        """Fused BATCHED distillation loss over B whole (lead-padded)
+        utterances — the hook the fused utterance trainer calls
+        (semi_tpu/train/utterance.py) so distillation trains at the
+        same multi-stream throughput as the flagship instead of
+        stream-serially (round-2 limitation). Semantics match
+        ``train_loss`` with flag=False: fresh state, the warm-up lead
+        is already prepended by the trainer, and both networks run the
+        stacked-chunk path. Returns (loss, stoi_aux, sisnr)."""
+        b = mix.shape[0]
+        t_params = jax.lax.stop_gradient(params["teacher"])
+        x, gap = self.student.preprocessing(mix)
+        _, ft, _ = self.teacher.forward_stacked_with_features(
+            t_params, self.teacher.init_state(b, mix.dtype), x)
+        preds, fs, _ = self.student.forward_stacked_with_features(
+            params["student"], self.student.init_state(b, mix.dtype), x)
+        pred = self.student.postprocessing(preds, gap)
+        loss, stoi, sisnr = self.student.compute_loss(target, pred, length)
+        loss = loss + self.distillation_loss(params["connectors"], ft, fs)
+        return loss, stoi, sisnr
+
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        """Multi-stream eval runtime: the student is the product
+        (predict_distillation.py:84) — used by the utterance dev epoch."""
+        student_params = params["student"] if "student" in params else params
+        pred, new_s = self.student.realtime_process_batched(
+            student_params, state["student"], mixture, reset_mask)
+        return pred, {"teacher": state["teacher"], "student": new_s}
 
     # -- eval contract: the student is the product (predict_distillation.py:84)
     def realtime_process(self, params, state, mixture, flag: bool = False):

@@ -152,19 +152,25 @@ class Processor:
         # optional multi-stream batched training (denoise.batch_streams > 1):
         # B utterance streams per step, one compiled program
         self._batch_streams = cfg.get("batch_streams", 1)
+        batch_mode = cfg.get("batch_mode", "piece")
         if self._batch_streams > 1:
+            # fused-objective models (train_loss) need either the
+            # utterance engine's utterance_loss hook or stream-serial
+            fused_ok = (batch_mode == "utterance"
+                        and hasattr(self.model, "utterance_loss"))
             if (not hasattr(self.model, "realtime_process_batched")
-                    or hasattr(self.model, "train_loss")):
+                    or (hasattr(self.model, "train_loss") and not fused_ok)):
                 raise SystemExit(
                     f"error: denoise.batch_streams={self._batch_streams} "
                     f"but model '{self.modelname}' has no multi-stream "
-                    f"batched runtime (models with a fused train_loss, "
-                    f"e.g. DistillationCRN, train stream-serially); set "
-                    f"batch_streams: 1")
-            from semi_tpu.train.step import make_batched_train_step
+                    f"batched runtime for batch_mode={batch_mode!r}; set "
+                    f"batch_streams: 1 (or batch_mode: utterance for "
+                    f"models with an utterance_loss hook)")
+            if not hasattr(self.model, "train_loss"):
+                from semi_tpu.train.step import make_batched_train_step
 
-            self._batched_train_fn = jax.jit(
-                make_batched_train_step(self.model, accum, max_grad_norm))
+                self._batched_train_fn = jax.jit(
+                    make_batched_train_step(self.model, accum, max_grad_norm))
         # "utterance" mode folds K mixed batches of B whole utterances
         # into ONE jit dispatch (relay-dispatch-bound environments;
         # semi_tpu/train/utterance.py). "piece" keeps the per-piece

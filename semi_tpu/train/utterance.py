@@ -138,6 +138,13 @@ def make_utterance_train_step(model, dataset, k_batches: int,
         b = mix.shape[0]
 
         def loss_fn(params):
+            # models with a fused multi-network objective (DistillationCRN:
+            # teacher features + student task loss) expose utterance_loss
+            # instead of the 2-call realtime/compute contract
+            if hasattr(model, "utterance_loss"):
+                loss, aux, sisnr = model.utterance_loss(
+                    params, mix, target, length)
+                return loss, (aux, sisnr)
             state = model.init_state(b)
             pred, _ = model.realtime_process_batched(
                 params, state, mix, jnp.ones((b,), bool))

@@ -102,6 +102,46 @@ def test_quantized_student_quality(distill):
     assert err / sig < 0.15  # small perturbation, same signal
 
 
+def test_utterance_mode_distillation(tmp_path):
+    """DistillationCRN trains through the fused utterance engine (round-3:
+    multi-stream distillation instead of stream-serial): Processor runs an
+    epoch at batch_streams>1, student+connector params move, teacher
+    frozen, best-dev checkpoint written to dillations/."""
+    import copy
+    import os
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_trainer import TINY_CONFIG
+
+    from semi_tpu.train.processor import Processor
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["checkpoint_dir"] = str(tmp_path / "m")
+    cfg["config"]["dillation_dir"] = str(tmp_path / "d")
+    cfg["config"]["log_dir"] = str(tmp_path / "l")
+    cfg["config"]["mix_length"] = 16000
+    cfg["config"]["train_epoch_size"] = 4
+    cfg["config"]["eval_epoch_size"] = 4
+    cfg["denoise"].update(batch_streams=2, batch_mode="utterance",
+                          k_batches=2, num_epoch=1)
+    cfg["TemporalCRN"] = dict(num_channels=[8, 8, 16, 16], num_freqs=201,
+                              hidden=32, segment_length=3200, num_layers=1,
+                              num_inputs=3, kernel_size=3)
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    proc = Processor("DistillationCRN", str(p), user_defined_name="dm")
+    t_before = jax.tree.map(lambda x: np.asarray(x),
+                            proc.model.init(jax.random.PRNGKey(0))["teacher"])
+    proc.train(stage=0, resume=False)
+    assert proc.epoch == 0
+    assert np.isfinite(proc.last_loss)
+    assert os.path.exists(tmp_path / "d" / "denoise" / "dm" /
+                          "DistillationCRN.npz")
+
+
 def test_int8_resident_program(distill):
     """The --quantize inference path is int8-RESIDENT: the compiled
     program's parameter inputs include int8 leaves, dequantization is
