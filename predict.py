@@ -30,7 +30,8 @@ from semi_tpu.utils.config import load_config
 
 def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
-            profile_dir: str | None = None, dump_dir: str | None = None):
+            profile_dir: str | None = None, dump_dir: str | None = None,
+            out_json: str | None = None):
     config = load_config(config_path)
     if model_name not in config:
         from semi_tpu.models import MODEL_REGISTRY
@@ -63,6 +64,7 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
              "d_pesq", "b_pesq", "a_pesq")}
     rtf_acc, count, rtf_count = 0.0, 0, 0
     seen_lengths: set = set()
+    rows: list = []
 
     for i in range(total):
         data = dataset[i]
@@ -111,6 +113,9 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             sums[f"b_{k}"] += m_before[k]
             sums[f"a_{k}"] += m_after[k]
             sums[f"d_{k}"] += m_after[k] - m_before[k]
+        rows.append({"item": i,
+                     "noisy": {k: float(v) for k, v in m_before.items()},
+                     "enhanced": {k: float(v) for k, v in m_after.items()}})
 
         print(f"[{i+1}/{total}] RTF={rtf_acc/max(rtf_count,1):.4f} "
               f"SI-SDR {sums['b_sisdr']/count:+.2f} -> {sums['a_sisdr']/count:+.2f} "
@@ -123,8 +128,19 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
     rtf = rtf_acc / max(rtf_count, 1)
     print(f"\nFinal over {count} items ({rtf_count} timed, compile excluded): "
           f"RTF={rtf:.4f} ({1.0/max(rtf,1e-9):.1f}x real-time)")
-    return {k: v / max(count, 1) for k, v in sums.items()} | {
+    result = {k: v / max(count, 1) for k, v in sums.items()} | {
         "rtf": rtf_acc / max(rtf_count, 1)}
+    if out_json:
+        # committable eval artifact (reproducibility: VERDICT r2 missing #3)
+        import json
+
+        os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump({"model": model_name, "weights": ckpt,
+                       "num_items": count, "items": rows,
+                       "means": result}, f, indent=2)
+        print(f"eval artifact -> {out_json}")
+    return result
 
 
 if __name__ == "__main__":
@@ -140,7 +156,10 @@ if __name__ == "__main__":
                         help="Write a jax.profiler trace of one utterance")
     parser.add_argument("--dump_dir", default=None, type=str,
                         help="Write enhanced/noisy/ref wavs per item")
+    parser.add_argument("--out_json", default=None, type=str,
+                        help="Write per-item + mean metrics as JSON")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
-            profile_dir=args.profile_dir, dump_dir=args.dump_dir)
+            profile_dir=args.profile_dir, dump_dir=args.dump_dir,
+            out_json=args.out_json)

@@ -29,6 +29,103 @@ from semi_tpu.utils.tb import ScalarWriter
 __all__ = ["GanProcessor"]
 
 
+def make_gan_utterance_step(model, dataset, stage: int, lr: float,
+                            n_warm: int, max_norm: float,
+                            use_corpus: bool = False):
+    """Fused multi-stream GAN training: mix + K batches of B whole
+    utterances per dispatch (round 3 — the stream-serial loop above is
+    relay-dispatch-bound on this link, docs/BENCHMARKS.md).
+
+    Returns ``step(carry, inputs) -> (carry, metrics)`` with
+    ``carry = (params, g_opt, d_opt, step_count)``. Stage semantics
+    mirror the per-item path exactly (reference Hifi-GAN/train.py:
+    210-228): at stage 3 the discriminator updates FIRST on the
+    detached generator output, then the generator steps against the
+    updated discriminator. Deviation (documented, same as the
+    utterance Processor): losses aggregate over whole zero-padded
+    utterances instead of exact-length pieces.
+    """
+    from semi_tpu.train.utterance import (_gather_inputs, _mixed_batch,
+                                          _mixer_fn)
+
+    tx = make_optimizer(max_norm)
+    mixer = _mixer_fn(dataset)
+    lead = model.segment_length // 2
+    snr = (float(dataset.snr_low), float(dataset.snr_high))
+    mix_len = dataset.mix_len
+
+    def one_batch(carry, batch_k):
+        params, g_opt, d_opt, step = carry
+        mix, target, _ = _mixed_batch(model, mixer, lead, snr, batch_k)
+        b = mix.shape[0]
+        ones = jnp.ones((b,), bool)
+        lr_t = noam_lr((step + 1).astype(jnp.float32), lr, n_warm)
+
+        d_loss_val = jnp.zeros(())
+        if stage == 3:
+            y_det, _, _ = model.generator.realtime_process_batched(
+                jax.lax.stop_gradient(params["generator"]),
+                model.init_state(b, mix.dtype), mix, ones, post=True)
+
+            def d_loss_fn(p):
+                return model.stage_d_loss(p, y_det, target)
+
+            d_loss_val, d_grads = jax.value_and_grad(d_loss_fn)(params)
+            d_grads = {"generator": jax.tree.map(jnp.zeros_like,
+                                                 params["generator"]),
+                       "mel_disc": d_grads["mel_disc"],
+                       "scale_disc": d_grads["scale_disc"]}
+            updates, d_opt = tx.update(d_grads, d_opt, params)
+            params = jax.tree.map(lambda p, u: p - lr_t * u, params, updates)
+
+        def g_loss_fn(p):
+            y_hat, y_before, _ = model.generator.realtime_process_batched(
+                p["generator"], model.init_state(b, mix.dtype), mix, ones,
+                post=stage != 1)
+            if stage == 1:
+                return model.stft_loss(y_hat, target, phase=True)
+            if stage == 2:
+                return 0.5 * model.stft_loss(y_hat, target, phase=True) + \
+                    0.5 * model.stft_loss(y_before, target, phase=True)
+            dp = jax.lax.stop_gradient({"mel_disc": p["mel_disc"],
+                                        "scale_disc": p["scale_disc"]})
+            _, g_out, fmap_r, fmap_g = model.discriminator_forward(
+                dp, y_hat[:, None], target[:, None])
+            return model.feature_loss(fmap_r, fmap_g) + \
+                model.generator_adv_loss(g_out)
+
+        g_loss_val, g_grads = jax.value_and_grad(g_loss_fn)(params)
+        if stage == 3:
+            g_grads = {"generator": g_grads["generator"],
+                       "mel_disc": jax.tree.map(jnp.zeros_like,
+                                                params["mel_disc"]),
+                       "scale_disc": jax.tree.map(jnp.zeros_like,
+                                                  params["scale_disc"])}
+        updates, g_opt = tx.update(g_grads, g_opt, params)
+        params = jax.tree.map(lambda p, u: p - lr_t * u, params, updates)
+        return (params, g_opt, d_opt, step + 1), \
+            {"g": g_loss_val, "d": d_loss_val}
+
+    if not use_corpus:
+        def step(carry, inputs):
+            xs = (inputs["clean"], inputs["noise"], inputs["key"],
+                  inputs["utt_len"])
+            return jax.lax.scan(one_batch, carry, xs)
+
+        return step
+
+    def step_corpus(carry, corpus_clean, corpus_noise, inputs):
+        def body(c, meta):
+            clean, noise = _gather_inputs(corpus_clean, corpus_noise,
+                                          meta, mix_len)
+            return one_batch(c, (clean, noise, meta["key"],
+                                 meta["utt_len"]))
+
+        return jax.lax.scan(body, carry, inputs)
+
+    return step_corpus
+
+
 class GanProcessor:
     def __init__(self, config_path: str, user_defined_name: str = "model",
                  dataset=None):
@@ -132,11 +229,22 @@ class GanProcessor:
             self.epoch = counters["Epoch"]
             self.train_step_count = counters["Train_Step"]
 
-        g_step, d_step, gen_forward, dev_step = self._make_steps(
-            stage, lr, n_warm, max_norm)
         writer = ScalarWriter(os.path.join(
             self.config["config"]["log_dir"], f"stage{stage}",
             self.config["user_defined_name"]), purge_step=self.train_step_count)
+
+        bs = scfg.get("batch_streams",
+                      self.config.get("denoise", {}).get("batch_streams", 1))
+        if bs > 1:
+            k = scfg.get("k_batches",
+                         self.config.get("denoise", {}).get("k_batches", 4))
+            self._train_utterance(stage, params, g_opt, d_opt, bs, k,
+                                  lr, n_warm, max_norm, writer, num_epoch,
+                                  avg_step)
+            return
+
+        g_step, d_step, gen_forward, dev_step = self._make_steps(
+            stage, lr, n_warm, max_norm)
 
         for epoch in range(self.epoch + 1, num_epoch):
             self.epoch = epoch
@@ -204,5 +312,152 @@ class GanProcessor:
             save_counters(os.path.join(d, "Epoch.json"), self.epoch,
                           self.train_step_count, dev_n,
                           dev_g / max(dev_n, 1))
+            writer.flush()
+        self._final_params = params
+
+    def _train_utterance(self, stage, params, g_opt, d_opt, b, k,
+                         lr, n_warm, max_norm, writer, num_epoch, avg_step):
+        """Fused multi-stream epochs (make_gan_utterance_step): ONE jit
+        dispatch per K batches of B whole utterances, device corpus when
+        manifests exist. Dev scores the stage G loss (+ D hinge at
+        stage 3) batched, no updates."""
+        from semi_tpu.train.utterance import (
+            DeviceCorpus, UtteranceBatchSampler, UtteranceMetaSampler,
+            _mixed_batch, _mixer_fn, _gather_inputs)
+
+        model = self.model
+        tx = make_optimizer(max_norm)
+        if d_opt is None:
+            d_opt = tx.init(params)  # pytree-stable carry (unused < stage 3)
+        ds = self.dataset
+        # device corpora built ONCE per stage (upload is relay-expensive)
+        ds.set_attribute("dev", augment=stage >= 2)
+        dev_corpus = DeviceCorpus(ds) if ds._have_real_data() else None
+        ds.set_attribute("train", augment=stage >= 2)
+        corpus = DeviceCorpus(ds) if ds._have_real_data() else None
+        step_fn = jax.jit(make_gan_utterance_step(
+            model, ds, stage, lr, n_warm, max_norm,
+            use_corpus=corpus is not None))
+
+        # batched dev: stage losses only
+        mixer = _mixer_fn(ds)
+        lead = model.segment_length // 2
+        mix_len = ds.mix_len
+
+        def dev_one(params_, batch_k):
+            mix, target, _ = _mixed_batch(model, mixer,
+                                          lead, (float(ds.snr_low),
+                                                 float(ds.snr_high)), batch_k)
+            bb = mix.shape[0]
+            ones = jnp.ones((bb,), bool)
+            y_hat, y_before, _ = model.generator.realtime_process_batched(
+                params_["generator"], model.init_state(bb, mix.dtype), mix,
+                ones, post=stage != 1)
+            if stage == 1:
+                g = model.stft_loss(y_hat, target, phase=True)
+            elif stage == 2:
+                g = 0.5 * model.stft_loss(y_hat, target, phase=True) + \
+                    0.5 * model.stft_loss(y_before, target, phase=True)
+            else:
+                dp = {"mel_disc": params_["mel_disc"],
+                      "scale_disc": params_["scale_disc"]}
+                _, g_out, fmap_r, fmap_g = model.discriminator_forward(
+                    dp, y_hat[:, None], target[:, None])
+                g = model.feature_loss(fmap_r, fmap_g) + \
+                    model.generator_adv_loss(g_out)
+            dl = model.stage_d_loss(params_, y_hat, target) \
+                if stage == 3 else jnp.zeros(())
+            return {"g": g, "d": dl}
+
+        if corpus is not None:
+            def dev_fn(params_, cc, cn, inputs):
+                def body(c, meta):
+                    clean, noise = _gather_inputs(cc, cn, meta, mix_len)
+                    return c, dev_one(params_, (clean, noise, meta["key"],
+                                                meta["utt_len"]))
+                _, ms = jax.lax.scan(body, None, inputs)
+                return ms
+        else:
+            def dev_fn(params_, inputs):
+                xs = (inputs["clean"], inputs["noise"], inputs["key"],
+                      inputs["utt_len"])
+                _, ms = jax.lax.scan(
+                    lambda c, x: (c, dev_one(params_, x)), None, xs)
+                return ms
+        dev_jit = jax.jit(dev_fn)
+
+        avg_every = max(1, avg_step // k)
+        for epoch in range(self.epoch + 1, num_epoch):
+            self.epoch = epoch
+            ds.set_attribute("train", augment=stage >= 2)
+            ds.init_seed(epoch + 1)
+            if corpus is not None:
+                sampler = UtteranceMetaSampler(ds, corpus, b, k)
+                run = lambda c, inp: step_fn(  # noqa: E731
+                    c, corpus.clean, corpus.noise, inp)
+            else:
+                sampler = UtteranceBatchSampler(ds, b, k)
+                run = step_fn
+            carry = (params, g_opt, d_opt,
+                     jnp.asarray(self.train_step_count, jnp.int32))
+            num_calls = max(1, len(ds) // (k * b))
+            g_sum = d_sum = 0.0
+            try:
+                for i in range(num_calls):
+                    carry, ms = run(carry, sampler.next_batch())
+                    g_sum += float(jnp.sum(ms["g"]))
+                    d_sum += float(jnp.sum(ms["d"]))
+                    self.train_step_count += k
+                    if (i + 1) % avg_every == 0:
+                        denom = avg_every * k
+                        print(f"stage{stage}[utt B={b} K={k}] epoch {epoch} "
+                              f"step {self.train_step_count} "
+                              f"g={g_sum/denom:.4f}"
+                              + (f" d={d_sum/denom:.4f}" if stage == 3
+                                 else ""), flush=True)
+                        writer.add_scalar("train_loss/g_loss", g_sum / denom,
+                                          self.train_step_count)
+                        if stage == 3:
+                            writer.add_scalar("train_loss/d_loss",
+                                              d_sum / denom,
+                                              self.train_step_count)
+                        g_sum = d_sum = 0.0
+            finally:
+                sampler.close()
+            params, g_opt, d_opt, _ = carry
+
+            # dev epoch (uses the dev split's device corpus, built once)
+            ds.set_attribute("dev", augment=stage >= 2)
+            ds.init_seed(epoch + 1)
+            if dev_corpus is not None:
+                s_dev = UtteranceMetaSampler(ds, dev_corpus, b, k)
+                run_dev = lambda p, inp: dev_jit(  # noqa: E731
+                    p, dev_corpus.clean, dev_corpus.noise, inp)
+            else:
+                s_dev = UtteranceBatchSampler(ds, b, k)
+                run_dev = dev_jit
+            dg = dd = 0.0
+            ncall = max(1, len(ds) // (k * b))
+            try:
+                for _ in range(ncall):
+                    ms = run_dev(params, s_dev.next_batch())
+                    dg += float(jnp.sum(ms["g"]))
+                    dd += float(jnp.sum(ms["d"]))
+            finally:
+                s_dev.close()
+            count = ncall * k
+            writer.add_scalar("dev_loss/g_loss", dg / count,
+                              self.train_step_count)
+            if stage == 3:
+                writer.add_scalar("dev_loss/d_loss", dd / count,
+                                  self.train_step_count)
+            print(f"stage{stage} dev epoch {epoch}: g={dg/count:.4f}"
+                  + (f" d={dd/count:.4f}" if stage == 3 else ""), flush=True)
+
+            d = self._stage_dir(stage)
+            os.makedirs(d, exist_ok=True)
+            save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
+            save_counters(os.path.join(d, "Epoch.json"), self.epoch,
+                          self.train_step_count, count, dg / count)
             writer.flush()
         self._final_params = params

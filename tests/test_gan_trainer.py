@@ -45,3 +45,32 @@ def test_stage1_then_warmstart_stage3(gan_config):
     proc3.train(stage=2, resume=False, load_model=True)
     assert os.path.exists(os.path.join(cfg["config"]["checkpoint_dir"],
                                        "stage2", "g", "Hifi_GAN.npz"))
+
+
+def test_utterance_mode_stages(gan_config, tmp_path):
+    """Round-3 fused multi-stream GAN training: stage 1 and stage 3 run
+    through make_gan_utterance_step (B streams, K batches per dispatch),
+    params update, per-stage checkpoints written."""
+    from semi_tpu.train.gan import GanProcessor
+
+    path, cfg = gan_config
+    cfg = copy.deepcopy(cfg)
+    cfg["config"]["train_epoch_size"] = 4
+    cfg["config"]["eval_epoch_size"] = 4
+    cfg["config"]["mix_length"] = 16000
+    for s in (1, 2, 3):
+        cfg[f"stage{s}"]["batch_streams"] = 2
+        cfg[f"stage{s}"]["k_batches"] = 2
+    p = tmp_path / "config_utt.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    proc = GanProcessor(str(p), user_defined_name="gu")
+    proc.train(stage=1, resume=False)
+    s1 = os.path.join(cfg["config"]["checkpoint_dir"], "stage1", "gu",
+                      "Hifi_GAN.npz")
+    assert os.path.exists(s1)
+
+    proc3 = GanProcessor(str(p), user_defined_name="gu")
+    proc3.train(stage=3, resume=False, load_model=False)
+    assert os.path.exists(os.path.join(cfg["config"]["checkpoint_dir"],
+                                       "stage3", "gu", "Hifi_GAN.npz"))
