@@ -303,7 +303,10 @@ class TemporalCRN(StreamingModel):
         """
         n, b, m, f, t, _ = x.shape
         noisy = x[:, :, 0]
-        h = self.features(x.reshape((n * b,) + x.shape[2:]))
+        # mixed precision mirrors forward_stacked: network in cdtype,
+        # taps returned as f32 so the distillation loss runs f32
+        params = self._cast(params)
+        h = self._cast(self.features(x.reshape((n * b,) + x.shape[2:])))
         h = h.reshape((n, b) + h.shape[1:])
 
         new_pre = []
@@ -349,6 +352,7 @@ class TemporalCRN(StreamingModel):
                              noisy[..., 0], noisy[..., 1])
         pred = jnp.stack([er, ei], axis=-1)
         new_state = {"preconvs": new_pre, "convs": new_enc, "gru": gru_state}
+        feats = [f_.astype(jnp.float32) for f_ in feats]
         return pred, feats, new_state
 
     def realtime_process_with_features(self, params, state, mixture,
@@ -361,7 +365,7 @@ class TemporalCRN(StreamingModel):
         if not flag:
             pad = jnp.zeros((b, m, self.segment_length // 2), mixture.dtype)
             mixture = jnp.concatenate([pad, mixture], axis=-1)
-            state = self.init_state(b, mixture.dtype)
+            state = self.init_state(b)  # compute-dtype ring buffers
 
         x, gap = self.preprocessing(mixture)
         preds, feats, state = self.forward_stacked_with_features(

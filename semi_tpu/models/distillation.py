@@ -85,7 +85,11 @@ class DistillationCRN:
         return {"teacher": teacher, "student": student,
                 "connectors": connectors}
 
-    def init_state(self, batch: int, dtype=jnp.float32):
+    def init_state(self, batch: int, dtype=None):
+        # dtype=None lets each network pick its compute dtype (the
+        # student's bf16 batched dev runtime needs bf16 ring buffers;
+        # forcing f32 here promoted the conv input and crashed the
+        # mixed-precision dev epoch)
         return {"teacher": self.teacher.init_state(batch, dtype),
                 "student": self.student.init_state(batch, dtype)}
 
@@ -146,10 +150,11 @@ class DistillationCRN:
         b = mix.shape[0]
         t_params = jax.lax.stop_gradient(params["teacher"])
         x, gap = self.student.preprocessing(mix)
+        # init_state() default picks each network's compute dtype
         _, ft, _ = self.teacher.forward_stacked_with_features(
-            t_params, self.teacher.init_state(b, mix.dtype), x)
+            t_params, self.teacher.init_state(b), x)
         preds, fs, _ = self.student.forward_stacked_with_features(
-            params["student"], self.student.init_state(b, mix.dtype), x)
+            params["student"], self.student.init_state(b), x)
         pred = self.student.postprocessing(preds, gap)
         loss, stoi, sisnr = self.student.compute_loss(target, pred, length)
         loss = loss + self.distillation_loss(params["connectors"], ft, fs)
