@@ -55,12 +55,12 @@ def test_utterance_mode_stages(gan_config, tmp_path):
 
     path, cfg = gan_config
     cfg = copy.deepcopy(cfg)
-    cfg["config"]["train_epoch_size"] = 4
-    cfg["config"]["eval_epoch_size"] = 4
+    cfg["config"]["train_epoch_size"] = 2
+    cfg["config"]["eval_epoch_size"] = 2
     cfg["config"]["mix_length"] = 16000
     for s in (1, 2, 3):
         cfg[f"stage{s}"]["batch_streams"] = 2
-        cfg[f"stage{s}"]["k_batches"] = 2
+        cfg[f"stage{s}"]["k_batches"] = 1
     p = tmp_path / "config_utt.yaml"
     p.write_text(yaml.safe_dump(cfg))
 

