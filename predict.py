@@ -28,35 +28,21 @@ from semi_tpu.train.checkpoint import load_pytree
 from semi_tpu.utils.config import load_config
 
 
-def predict(config_path: str, model_name: str, user_defined_name: str,
-            num_items: int | None = None, weights: str | None = None,
-            profile_dir: str | None = None, dump_dir: str | None = None,
-            out_json: str | None = None):
-    config = load_config(config_path)
-    if model_name not in config:
-        from semi_tpu.models import MODEL_REGISTRY
+def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
+                       num_items: int | None = None,
+                       profile_dir: str | None = None,
+                       dump_dir: str | None = None,
+                       out_json: str | None = None):
+    """Shared eval loop: stream the test split through ``run(params, mix)``.
 
-        raise SystemExit(
-            f"error: no config section for model '{model_name}'; "
-            f"registered models: {sorted(MODEL_REGISTRY)}")
-    model = build_model(model_name, config[model_name])
-    params = model.init(jax.random.PRNGKey(0))
-
-    ckpt = weights or os.path.join(
-        config["config"]["checkpoint_dir"], "denoise", user_defined_name,
-        model_name + ".npz")
-    if os.path.exists(ckpt):
-        params = load_pytree(ckpt, params)
-        print(f"loaded weights from {ckpt}")
-    else:
-        print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
-
+    Reports SI-SDR / STOI / PESQ before/after and RTF (compile excluded),
+    and optionally writes the committable per-item JSON artifact. Reused
+    by predict.py and predict_distillation.py so every family's eval
+    produces the same artifact schema.
+    """
     dataset = LibriPartyDataset(config)
     dataset.set_attribute("test", augment=False, perturb=False)
     dataset.init_seed(0)
-
-    run = jax.jit(
-        lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
 
     total = num_items or len(dataset)
     sums = {k: 0.0 for k in
@@ -141,6 +127,36 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
                        "means": result}, f, indent=2)
         print(f"eval artifact -> {out_json}")
     return result
+
+
+def predict(config_path: str, model_name: str, user_defined_name: str,
+            num_items: int | None = None, weights: str | None = None,
+            profile_dir: str | None = None, dump_dir: str | None = None,
+            out_json: str | None = None):
+    config = load_config(config_path)
+    if model_name not in config:
+        from semi_tpu.models import MODEL_REGISTRY
+
+        raise SystemExit(
+            f"error: no config section for model '{model_name}'; "
+            f"registered models: {sorted(MODEL_REGISTRY)}")
+    model = build_model(model_name, config[model_name])
+    params = model.init(jax.random.PRNGKey(0))
+
+    ckpt = weights or os.path.join(
+        config["config"]["checkpoint_dir"], "denoise", user_defined_name,
+        model_name + ".npz")
+    if os.path.exists(ckpt):
+        params = load_pytree(ckpt, params)
+        print(f"loaded weights from {ckpt}")
+    else:
+        print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
+
+    run = jax.jit(
+        lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
+    return evaluate_streaming(run, params, config, model_name, ckpt,
+                              num_items=num_items, profile_dir=profile_dir,
+                              dump_dir=dump_dir, out_json=out_json)
 
 
 if __name__ == "__main__":

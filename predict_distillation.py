@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 import jax
 
 from semi_tpu.models.distillation import DistillationCRN
@@ -27,6 +25,10 @@ def main():
     parser.add_argument("--num_items", default=None, type=int)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight-quantized student inference")
+    parser.add_argument("--weights", default=None, type=str,
+                        help="Explicit checkpoint path override")
+    parser.add_argument("--out_json", default=None, type=str,
+                        help="Write per-item + mean metrics as JSON")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
@@ -34,9 +36,9 @@ def main():
     model = DistillationCRN(**section)
     params = model.init(jax.random.PRNGKey(0))
 
-    ckpt = os.path.join(config["config"].get("dillation_dir", "./dillations"),
-                        "denoise", args.user_defined_name,
-                        "DistillationCRN.npz")
+    ckpt = args.weights or os.path.join(
+        config["config"].get("dillation_dir", "./dillations"),
+        "denoise", args.user_defined_name, "DistillationCRN.npz")
     if os.path.exists(ckpt):
         params = load_pytree(ckpt, params)
         print(f"loaded weights from {ckpt}")
@@ -70,34 +72,11 @@ def main():
         run = jax.jit(lambda p, x: model.student.realtime_process(
             p, None, x, flag=False)[0])
 
-    import time
+    from predict import evaluate_streaming
 
-    import jax.numpy as jnp
-
-    from semi_tpu.data.dataset import LibriPartyDataset
-    from semi_tpu.metrics.eval import si_sdr, stoi, wb_pesq
-
-    dataset = LibriPartyDataset(config)
-    dataset.set_attribute("test", augment=False, perturb=False)
-    dataset.init_seed(0)
-
-    total = args.num_items or len(dataset)
-    rtf_acc, count = 0.0, 0
-    d_sisdr = d_stoi = 0.0
-    for i in range(total):
-        data = dataset[i]
-        mix = jnp.asarray(data["mix"])
-        src = np.asarray(data["source"][0, 0, 0])
-        noisy = np.asarray(data["mix"][0, 0])
-        t0 = time.perf_counter()
-        pred = np.asarray(run(student, mix))[0]
-        rtf_acc += (time.perf_counter() - t0) * 16000.0 / mix.shape[-1]
-        count += 1
-        d_sisdr += si_sdr(src, pred) - si_sdr(src, noisy)
-        d_stoi += stoi(src, pred) - stoi(src, noisy)
-        print(f"[{i+1}/{total}] RTF={rtf_acc/count:.4f} "
-              f"dSI-SDR={d_sisdr/count:+.2f} dSTOI={d_stoi/count:+.4f}",
-              flush=True)
+    tag = "DistillationCRN[int8]" if args.quantize else "DistillationCRN"
+    evaluate_streaming(run, student, config, tag, ckpt,
+                       num_items=args.num_items, out_json=args.out_json)
 
 
 if __name__ == "__main__":
