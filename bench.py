@@ -30,6 +30,7 @@ def main():
         num_channels=[16, 32, 64, 128], num_freqs=201, hidden=512,
         segment_length=3200, num_layers=2, num_inputs=3, kernel_size=3,
         remat=False,  # inference: no rematerialization
+        use_pallas_gru="auto",  # fused GRU kernel where measured faster
     )
     params = model.init(jax.random.PRNGKey(0))
     seconds = 3.0

@@ -134,13 +134,26 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             profile_dir: str | None = None, dump_dir: str | None = None,
             out_json: str | None = None):
     config = load_config(config_path)
-    if model_name not in config:
-        from semi_tpu.models import MODEL_REGISTRY
+    from semi_tpu.models import MODEL_REGISTRY
 
+    if model_name not in config:
         raise SystemExit(
             f"error: no config section for model '{model_name}'; "
             f"registered models: {sorted(MODEL_REGISTRY)}")
-    model = build_model(model_name, config[model_name])
+    # Inference default: fused Pallas recurrent kernels where measured
+    # faster (rnn_seq.pallas_profitable; scan elsewhere and on CPU).
+    # Training keeps the scan path — the kernels don't truncate
+    # gradients at chunk boundaries — so the flip lives here, not in
+    # the model constructors.
+    import inspect
+
+    section = dict(config[model_name])
+    accepted = inspect.signature(
+        MODEL_REGISTRY[model_name].__init__).parameters
+    for k in ("use_pallas_gru", "use_pallas_rnn"):
+        if k in accepted:
+            section.setdefault(k, "auto")
+    model = build_model(model_name, section)
     params = model.init(jax.random.PRNGKey(0))
 
     ckpt = weights or os.path.join(

@@ -34,6 +34,10 @@ def main():
     config = load_config(args.config_path)
     section = dict(config["TemporalCRN"])
     model = DistillationCRN(**section)
+    # inference default: fused Pallas GRU where measured faster (the
+    # student is the rows=1 streaming case, 2.46x device win —
+    # rnn_seq.pallas_profitable; resolves to the scan on CPU)
+    model.student.use_pallas_gru = "auto"
     params = model.init(jax.random.PRNGKey(0))
 
     ckpt = args.weights or os.path.join(

@@ -263,8 +263,13 @@ class SequenceModel(Module):
         ``use_pallas=True`` runs the whole recurrent sequence in ONE
         fused TPU kernel (inference only: it does not truncate gradients
         at chunk boundaries; 2-layer GRU/LSTM — ops/pallas/rnn_seq.py,
-        grid-pipelined so any T and row count work)."""
+        grid-pipelined so any T and row count work). ``"auto"`` resolves
+        by backend + measured win region (rnn_seq.pallas_profitable)."""
         n, b, f, t = x.shape
+        if use_pallas == "auto":
+            from semi_tpu.ops.pallas.rnn_seq import pallas_profitable
+
+            use_pallas = pallas_profitable(b, self.rnn.num_layers)
         y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
         if use_pallas and self.rnn.num_layers == 2:
             p0, p1 = params["rnn"]

@@ -208,9 +208,15 @@ class _FSSequence(Module):
         """x: ``[N, B, F, T]`` stacked chunks (recurrent core chunk-serial,
         projections batched). ``use_pallas=True`` fuses the recurrent
         sequence into one TPU kernel (inference only, 2-layer;
-        ops/pallas/rnn_seq.py — built for the B*201-row sub-band
-        batch)."""
+        ops/pallas/rnn_seq.py). ``"auto"`` resolves by backend + the
+        measured win region (rnn_seq.pallas_profitable): the full-band
+        LSTM (rows=B) wins 1.4x, the 804-row sub-band batch measures
+        0.91x and stays on the scan."""
         n, b, f, t = x.shape
+        if use_pallas == "auto":
+            from semi_tpu.ops.pallas.rnn_seq import pallas_profitable
+
+            use_pallas = pallas_profitable(b, self.rnn.num_layers)
         y = x.transpose(0, 1, 3, 2)  # [N, B, T, F]
         if use_pallas and self.rnn.num_layers == 2:
             from semi_tpu.layers.rnn import GRU

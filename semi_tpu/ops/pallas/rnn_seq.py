@@ -36,7 +36,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gru2_seq", "lstm2_seq", "gru2_seq_reference",
-           "lstm2_seq_reference"]
+           "lstm2_seq_reference", "pallas_profitable"]
+
+
+def pallas_profitable(rows: int, num_layers: int) -> bool:
+    """Resolve ``use_pallas="auto"`` for the fused recurrent kernels.
+
+    Decided by measurement (tools/bench_kernels.py slope-method,
+    runs/bench_kernels.json, v5e device-side per 861 steps):
+
+    | cell | rows | H   | pallas  | xla scan | speedup |
+    |------|------|-----|---------|----------|---------|
+    | GRU  |   1  | 512 | 4.9 ms  | 12.1 ms  | 2.46x   |
+    | GRU  |   8  | 512 | 4.8 ms  |  6.4 ms  | 1.34x   |
+    | LSTM |   8  | 512 | 5.9 ms  |  8.3 ms  | 1.40x   |
+    | LSTM | 201  | 384 | 44.0 ms | 40.0 ms  | 0.91x   |
+
+    The win region is small-row streaming inference (rows <= 8): the
+    kernel keeps weights VMEM-resident across steps while the scan
+    re-reads them from HBM per step. At many rows the scan's matmuls
+    are already bandwidth-efficient and the kernel loses; rows=32 at
+    H=512 additionally overflows the ~16 MB VMEM core (weights + state
+    + double-buffered step blocks). Only the 2-layer fused form exists,
+    and only the TPU backend runs the compiled (non-interpret) kernel.
+    """
+    return (jax.default_backend() == "tpu" and num_layers == 2
+            and rows <= 8)
 
 _HI = jax.lax.Precision.HIGHEST
 

@@ -78,3 +78,42 @@ def test_fullsubnet_pallas_rnn_matches_scan(monkeypatch):
     y0, _ = m0.realtime_process(params, None, x, flag=False)
     y1, _ = m1.realtime_process(params, None, x, flag=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=3e-5)
+
+
+class TestAutoGating:
+    """``use_pallas="auto"`` resolves by backend + measured win region
+    (rnn_seq.pallas_profitable): TPU-only, 2-layer, rows <= 8."""
+
+    def test_resolves_false_on_cpu(self):
+        from semi_tpu.ops.pallas.rnn_seq import pallas_profitable
+
+        assert jax.default_backend() == "cpu"
+        assert pallas_profitable(1, 2) is False
+
+    def test_win_region_on_tpu(self, monkeypatch):
+        import semi_tpu.ops.pallas.rnn_seq as rnn_seq
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert rnn_seq.pallas_profitable(1, 2) is True
+        assert rnn_seq.pallas_profitable(8, 2) is True
+        # measured loss region / VMEM envelope: many rows stay on scan
+        assert rnn_seq.pallas_profitable(32, 2) is False
+        assert rnn_seq.pallas_profitable(201, 2) is False
+        # only the 2-layer fused form exists
+        assert rnn_seq.pallas_profitable(1, 1) is False
+        assert rnn_seq.pallas_profitable(1, 3) is False
+
+    def test_auto_is_scan_on_cpu(self):
+        """On CPU, "auto" must produce bit-identical values to the scan
+        path through the full stacked CRN runtime."""
+        from semi_tpu.models.crn import TemporalCRN
+
+        kw = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+                  segment_length=3200, num_layers=2, remat=False)
+        m0 = TemporalCRN(**kw)
+        m1 = TemporalCRN(**kw, use_pallas_gru="auto")
+        params = m0.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+        y0, _ = m0.realtime_process(params, None, x, flag=False)
+        y1, _ = m1.realtime_process(params, None, x, flag=False)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -72,12 +72,21 @@ def main():
         rows.append({"model": name, "xRT": round(xrt, 1)})
         print(f"{name}: {xrt:.1f}x real-time", flush=True)
 
-    # flagship + v1 + student at inference settings (no remat)
+    # flagship + v1 + student at inference settings (no remat); pallas
+    # "auto" mirrors the predict.py inference default
+    import inspect
+
+    from semi_tpu.models import MODEL_REGISTRY
+
     for name in ("TemporalCRN", "TemporalCRN_v1", "FullSubNet", "GTSA",
                  "GeneralBeamformer"):
         sect = dict(config[name])
-        sect.setdefault("remat", False) if name.startswith("Temporal") \
-            else None
+        accepted = inspect.signature(MODEL_REGISTRY[name].__init__).parameters
+        if name.startswith("Temporal"):
+            sect.setdefault("remat", False)
+        for k in ("use_pallas_gru", "use_pallas_rnn"):
+            if k in accepted:
+                sect.setdefault(k, "auto")
         try:
             bench(name, build_model(name, sect))
         except Exception as e:
@@ -88,6 +97,7 @@ def main():
     # distilled student (the 0.8M product model)
     try:
         m = DistillationCRN(**{k: v for k, v in config["TemporalCRN"].items()})
+        m.student.use_pallas_gru = "auto"
         bench("DistilledStudent", m)
     except Exception as e:
         rows.append({"model": "DistilledStudent", "xRT": None,
