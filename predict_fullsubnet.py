@@ -17,6 +17,8 @@ if __name__ == "__main__":
     parser.add_argument("--user_defined_name", default="model", type=str)
     parser.add_argument("--num_items", default=None, type=int)
     parser.add_argument("--weights", default=None, type=str)
+    parser.add_argument("--out_json", default=None, type=str)
     args = parser.parse_args()
     predict(args.config_path, "FullSubNet", args.user_defined_name,
-            num_items=args.num_items, weights=args.weights)
+            num_items=args.num_items, weights=args.weights,
+            out_json=args.out_json)
