@@ -50,8 +50,16 @@ class DeviceStreamSampler:
 
     def __init__(self, dataset: LibriPartyDataset, num_streams: int,
                  piece_length: int = 16000, lead: int = 1600,
-                 prefetch_depth: int = 12, start_index: int = 0):
+                 prefetch_depth: int = 12, start_index: int = 0,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
+        # multi-host shard: local index i -> global i*pc + pi (disjoint
+        # per-host coverage of the deterministic per-index rng chain);
+        # start_index stays local, so resume counters are per-host
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        self.proc_index, self.proc_count = pi, pc
         self.num_streams = num_streams
         self.piece_length = piece_length
         self.lead = lead
@@ -72,7 +80,8 @@ class DeviceStreamSampler:
         # start_index+1, ... — the host-side cost (wav reads, numpy
         # concat) off the hot loop. start_index supports mid-epoch resume.
         self._inputs = ThreadPrefetcher(
-            (dataset.utterance_inputs(i) for i in _count_from(start_index)),
+            (dataset.utterance_inputs(i * pc + pi)
+             for i in _count_from(start_index)),
             depth=prefetch_depth)
 
         lead_ = lead

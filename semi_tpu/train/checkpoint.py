@@ -31,8 +31,12 @@ def _flatten(tree) -> dict[str, np.ndarray]:
 
 
 def save_pytree(path: str, tree: Any) -> None:
+    # atomic: a crash mid-save must never corrupt the previous good
+    # checkpoint (np.savez truncates in place otherwise)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **_flatten(tree))
+    tmp = path + ".tmp.npz"  # .npz suffix so np.savez appends nothing
+    np.savez(tmp, **_flatten(tree))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, template: Any) -> Any:
@@ -55,9 +59,11 @@ def load_pytree(path: str, template: Any) -> Any:
 def save_counters(path: str, epoch: int, train_step: int, dev_step: int,
                   last_loss: float) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"Epoch": epoch, "Train_Step": train_step,
                    "Dev_Step": dev_step, "Last_Loss": last_loss}, f)
+    os.replace(tmp, path)
 
 
 def load_counters(path: str) -> dict:

@@ -145,6 +145,31 @@ class GanProcessor:
                             f"stage{stage}",
                             self.config["user_defined_name"])
 
+    def _save_stage(self, stage: int, params, g_opt, d_opt,
+                    dev_step: int = 0, dev_loss: float = 0.0,
+                    step_in_epoch: int = 0) -> None:
+        """Full stage checkpoint: generator+discriminator params, BOTH
+        optimizer states (reference saves optimizer.pth too,
+        train.py:77-99), counters; a nonzero ``step_in_epoch`` writes
+        Step.json (mid-epoch restart marker, same contract as the
+        Processor), a zero one clears it."""
+        d = self._stage_dir(stage)
+        os.makedirs(d, exist_ok=True)
+        save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
+        save_pytree(os.path.join(d, "optimizer.npz"),
+                    {"g_opt": g_opt,
+                     "d_opt": d_opt if d_opt is not None else g_opt})
+        save_counters(os.path.join(d, "Epoch.json"), self.epoch,
+                      self.train_step_count, dev_step, dev_loss)
+        step_file = os.path.join(d, "Step.json")
+        if step_in_epoch:
+            import json
+            with open(step_file + ".tmp", "w") as f:
+                json.dump({"Step_In_Epoch": step_in_epoch}, f)
+            os.replace(step_file + ".tmp", step_file)
+        elif os.path.exists(step_file):
+            os.remove(step_file)
+
     def _make_steps(self, stage: int, lr: float, n_warm: int, max_norm: float):
         tx = make_optimizer(max_norm)
         model = self.model
@@ -222,12 +247,30 @@ class GanProcessor:
         tx = make_optimizer(max_norm)
         g_opt = tx.init(params)
         d_opt = tx.init(params) if stage == 3 else None
+        self._start_index = 0
         if resume:
             d = self._stage_dir(stage)
             params = load_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
             counters = load_counters(os.path.join(d, "Epoch.json"))
             self.epoch = counters["Epoch"]
             self.train_step_count = counters["Train_Step"]
+            opt_file = os.path.join(d, "optimizer.npz")
+            if os.path.exists(opt_file):
+                tmpl = {"g_opt": g_opt,
+                        "d_opt": d_opt if d_opt is not None else g_opt}
+                opts = load_pytree(opt_file, tmpl)
+                g_opt = opts["g_opt"]
+                if stage == 3:
+                    d_opt = opts["d_opt"]
+            # mid-epoch restart: Step.json marks a partial epoch
+            step_file = os.path.join(d, "Step.json")
+            if os.path.exists(step_file):
+                import json
+                with open(step_file) as f:
+                    self._start_index = json.load(f).get("Step_In_Epoch", 0)
+                self.epoch -= 1  # re-enter the partial epoch
+                print(f"resuming mid-epoch {self.epoch + 1} at item "
+                      f"{self._start_index}")
 
         writer = ScalarWriter(os.path.join(
             self.config["config"]["log_dir"], f"stage{stage}",
@@ -306,12 +349,8 @@ class GanProcessor:
                 writer.add_scalar("dev_loss/d_loss", dev_d / max(dev_n, 1),
                                   self.train_step_count)
 
-            d = self._stage_dir(stage)
-            os.makedirs(d, exist_ok=True)
-            save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
-            save_counters(os.path.join(d, "Epoch.json"), self.epoch,
-                          self.train_step_count, dev_n,
-                          dev_g / max(dev_n, 1))
+            self._save_stage(stage, params, g_opt, d_opt,
+                             dev_step=dev_n, dev_loss=dev_g / max(dev_n, 1))
             writer.flush()
         self._final_params = params
 
@@ -387,27 +426,45 @@ class GanProcessor:
         dev_jit = jax.jit(dev_fn)
 
         avg_every = max(1, avg_step // k)
+        # mid-epoch checkpointing (same contract as Processor's
+        # utterance engine): ckpt_every_steps is in ITEMS, one fused
+        # call consumes k*b of them
+        ckpt_every = self.config["config"].get("ckpt_every_steps", 0)
+        ckpt_calls = max(1, ckpt_every // (k * b)) if ckpt_every else 0
         for epoch in range(self.epoch + 1, num_epoch):
             self.epoch = epoch
             ds.set_attribute("train", augment=stage >= 2)
             ds.init_seed(epoch + 1)
+            start_call = getattr(self, "_start_index", 0) // (k * b)
+            self._start_index = 0  # only the re-entered epoch is partial
             if corpus is not None:
-                sampler = UtteranceMetaSampler(ds, corpus, b, k)
+                sampler = UtteranceMetaSampler(ds, corpus, b, k,
+                                               start_index=start_call * k * b)
                 run = lambda c, inp: step_fn(  # noqa: E731
                     c, corpus.clean, corpus.noise, inp)
             else:
-                sampler = UtteranceBatchSampler(ds, b, k)
+                sampler = UtteranceBatchSampler(ds, b, k,
+                                                start_index=start_call * k * b)
                 run = step_fn
             carry = (params, g_opt, d_opt,
                      jnp.asarray(self.train_step_count, jnp.int32))
-            num_calls = max(1, len(ds) // (k * b))
+            # per-host shard (sampler strides the global index by
+            # process_count; the dev pass stays replicated)
+            num_calls = max(1, len(ds) // (k * b * jax.process_count()))
             g_sum = d_sum = 0.0
             try:
-                for i in range(num_calls):
+                for i in range(start_call, num_calls):
                     carry, ms = run(carry, sampler.next_batch())
                     g_sum += float(jnp.sum(ms["g"]))
                     d_sum += float(jnp.sum(ms["d"]))
                     self.train_step_count += k
+                    if ckpt_calls and (i + 1 - start_call) % ckpt_calls == 0:
+                        # mid-epoch checkpoint: params + BOTH optimizer
+                        # states + Step.json (resume re-enters this epoch
+                        # at the recorded item; train() decrements epoch
+                        # when Step.json is present)
+                        self._save_stage(stage, carry[0], carry[1], carry[2],
+                                         step_in_epoch=(i + 1) * k * b)
                     if (i + 1) % avg_every == 0:
                         denom = avg_every * k
                         print(f"stage{stage}[utt B={b} K={k}] epoch {epoch} "
@@ -429,12 +486,16 @@ class GanProcessor:
             # dev epoch (uses the dev split's device corpus, built once)
             ds.set_attribute("dev", augment=stage >= 2)
             ds.init_seed(epoch + 1)
+            # dev is replicated across hosts (process_count=1) so every
+            # host scores the identical set
             if dev_corpus is not None:
-                s_dev = UtteranceMetaSampler(ds, dev_corpus, b, k)
+                s_dev = UtteranceMetaSampler(ds, dev_corpus, b, k,
+                                             process_index=0, process_count=1)
                 run_dev = lambda p, inp: dev_jit(  # noqa: E731
                     p, dev_corpus.clean, dev_corpus.noise, inp)
             else:
-                s_dev = UtteranceBatchSampler(ds, b, k)
+                s_dev = UtteranceBatchSampler(ds, b, k,
+                                              process_index=0, process_count=1)
                 run_dev = dev_jit
             dg = dd = 0.0
             ncall = max(1, len(ds) // (k * b))
@@ -454,10 +515,7 @@ class GanProcessor:
             print(f"stage{stage} dev epoch {epoch}: g={dg/count:.4f}"
                   + (f" d={dd/count:.4f}" if stage == 3 else ""), flush=True)
 
-            d = self._stage_dir(stage)
-            os.makedirs(d, exist_ok=True)
-            save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
-            save_counters(os.path.join(d, "Epoch.json"), self.epoch,
-                          self.train_step_count, count, dg / count)
+            self._save_stage(stage, params, g_opt, d_opt,
+                             dev_step=count, dev_loss=dg / count)
             writer.flush()
         self._final_params = params

@@ -107,8 +107,10 @@ class Processor:
             save_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
             import json
 
-            with open(os.path.join(d, "Step.json"), "w") as f:
+            tmp = os.path.join(d, "Step.json.tmp")
+            with open(tmp, "w") as f:
                 json.dump({"Step_In_Epoch": step_in_epoch}, f)
+            os.replace(tmp, os.path.join(d, "Step.json"))
 
     def load_modules(self, stage_name: str, ts: TrainState) -> TrainState:
         d = self._stage_dir(stage_name)
@@ -306,7 +308,10 @@ class Processor:
             lead=self.model.segment_length // 2, start_index=start_index)
         model_state = self.model.init_state(b)
 
-        num_batches = max(1, (len(self.dataset) - start_index) // b)
+        # per-host shard of the virtual epoch (sampler strides the global
+        # index by process_count; dev epochs stay replicated for gating)
+        num_batches = max(1, (len(self.dataset) // jax.process_count()
+                              - start_index) // b)
         pending: list = []
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
 
@@ -391,7 +396,9 @@ class Processor:
                                             start_index=start_call * kb)
             run = self._train_utt_fn
 
-        num_calls = max(1, len(self.dataset) // kb)
+        # per-host shard of the virtual epoch (sampler strides the global
+        # index by process_count; dev epochs stay replicated for gating)
+        num_calls = max(1, len(self.dataset) // (kb * jax.process_count()))
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0}
         names = (("loss", "loss"), ("logmse", "aux"), ("sisnr", "sisnr"))
         try:
@@ -434,12 +441,16 @@ class Processor:
         if self._eval_utt_fn is None:
             self._eval_utt_fn = jax.jit(make_utterance_eval_step(
                 self.model, self.dataset, use_corpus=corpus is not None))
+        # dev is REPLICATED across hosts (process_count=1): every host
+        # scores the identical set so best-dev gating cannot diverge
         if corpus is not None:
-            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k)
+            sampler = UtteranceMetaSampler(self.dataset, corpus, b, k,
+                                           process_index=0, process_count=1)
             run = lambda p, inp: self._eval_utt_fn(  # noqa: E731
                 p, corpus.clean, corpus.noise, inp)
         else:
-            sampler = UtteranceBatchSampler(self.dataset, b, k)
+            sampler = UtteranceBatchSampler(self.dataset, b, k,
+                                            process_index=0, process_count=1)
             run = self._eval_utt_fn
         num_calls = max(1, len(self.dataset) // (k * b))
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0, "stoi": 0.0}

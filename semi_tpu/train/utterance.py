@@ -243,13 +243,27 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
 class UtteranceBatchSampler:
     """Assembles {clean [K,B,spk,L], noise [K,B,L], key [K,B,2],
     utt_len [K,B]} input blocks on a producer thread (decode + numpy
-    only — all mixing happens inside the fused step program)."""
+    only — all mixing happens inside the fused step program).
+
+    Multi-host (SURVEY §5.8, reference DistributedSampler analog,
+    train.py:170-174 commented upstream): each host enumerates the
+    *local* index space and maps it onto the global, deterministic
+    per-index rng chain as ``global = local * process_count +
+    process_index`` — disjoint shards whose union is the serial order.
+    ``start_index`` stays in local units, so mid-epoch resume counters
+    are per-host and unchanged on 1 host."""
 
     def __init__(self, dataset, batch: int, k_batches: int,
-                 start_index: int = 0, prefetch_depth: int = 2):
+                 start_index: int = 0, prefetch_depth: int = 2,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.batch = batch
         self.k = k_batches
+        self.proc_index = jax.process_index() if process_index is None \
+            else process_index
+        self.proc_count = jax.process_count() if process_count is None \
+            else process_count
 
         def gen():
             i = start_index
@@ -269,7 +283,8 @@ class UtteranceBatchSampler:
         idx = index0
         for i in range(k):
             for j in range(b):
-                c, nz, key, ul = ds.utterance_inputs(idx)
+                c, nz, key, ul = ds.utterance_inputs(
+                    idx * self.proc_count + self.proc_index)
                 clean[i, j] = np.clip(c * 32768.0, -32768, 32767)
                 noise[i, j] = np.clip(nz * 32768.0, -32768, 32767)
                 keys[i, j] = np.asarray(key, np.uint32)
@@ -292,11 +307,17 @@ class UtteranceMetaSampler:
 
     def __init__(self, dataset, corpus: DeviceCorpus, batch: int,
                  k_batches: int, start_index: int = 0,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.corpus = corpus
         self.batch = batch
         self.k = k_batches
+        self.proc_index = jax.process_index() if process_index is None \
+            else process_index
+        self.proc_count = jax.process_count() if process_count is None \
+            else process_count
 
         def gen():
             i = start_index
@@ -318,7 +339,8 @@ class UtteranceMetaSampler:
         for i in range(k):
             for j in range(b):
                 c_idx, n_idx, n_off, key, ul = ds.utterance_meta(
-                    idx, co.clean_len, co.noise_len)
+                    idx * self.proc_count + self.proc_index,
+                    co.clean_len, co.noise_len)
                 ci[i, j], ni[i, j], off[i, j] = c_idx, n_idx, n_off
                 keys[i, j] = np.asarray(key, np.uint32)
                 lens[i, j] = ul

@@ -74,3 +74,71 @@ def test_utterance_mode_stages(gan_config, tmp_path):
     proc3.train(stage=3, resume=False, load_model=False)
     assert os.path.exists(os.path.join(cfg["config"]["checkpoint_dir"],
                                        "stage3", "gu", "Hifi_GAN.npz"))
+
+def test_utterance_mode_midepoch_ckpt_and_resume(gan_config, tmp_path):
+    """ckpt_every_steps in the fused GAN engine: a mid-epoch kill loses
+    at most ckpt_every_steps items — Step.json marks the partial epoch,
+    optimizer.npz restores both optimizer states, and resume re-enters
+    the epoch at the recorded item and completes it."""
+    from semi_tpu.train.gan import GanProcessor
+
+    path, cfg = gan_config
+    cfg = copy.deepcopy(cfg)
+    cfg["config"]["checkpoint_dir"] = str(tmp_path / "modules_mid")
+    cfg["config"]["log_dir"] = str(tmp_path / "log_mid")
+    cfg["config"]["train_epoch_size"] = 4
+    cfg["config"]["eval_epoch_size"] = 2
+    cfg["config"]["mix_length"] = 16000
+    cfg["config"]["ckpt_every_steps"] = 2  # every fused call (k*b=2)
+    for s in (1, 2, 3):
+        cfg[f"stage{s}"]["batch_streams"] = 2
+        cfg[f"stage{s}"]["k_batches"] = 1
+    p = tmp_path / "config_mid.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    proc = GanProcessor(str(p), user_defined_name="gm")
+    # simulate a crash after the first fused call: run one epoch but
+    # kill via a sampler that raises after the first next_batch
+    import semi_tpu.train.gan as gan_mod
+
+    orig = gan_mod.UtteranceBatchSampler if hasattr(
+        gan_mod, "UtteranceBatchSampler") else None
+
+    class _Boom(RuntimeError):
+        pass
+
+    from semi_tpu.train import utterance as utt_mod
+
+    real_next = utt_mod.UtteranceBatchSampler.next_batch
+    calls = {"n": 0}
+
+    def boom_next(self):
+        if calls["n"] >= 1:
+            raise _Boom("simulated crash")
+        calls["n"] += 1
+        return real_next(self)
+
+    utt_mod.UtteranceBatchSampler.next_batch = boom_next
+    try:
+        with pytest.raises(_Boom):
+            proc.train(stage=1, resume=False)
+    finally:
+        utt_mod.UtteranceBatchSampler.next_batch = real_next
+    del orig
+
+    d = os.path.join(cfg["config"]["checkpoint_dir"], "stage1", "gm")
+    assert os.path.exists(os.path.join(d, "Step.json"))
+    assert os.path.exists(os.path.join(d, "optimizer.npz"))
+
+    # resume: re-enters the partial epoch at item 2 and completes
+    proc2 = GanProcessor(str(p), user_defined_name="gm")
+    proc2.train(stage=1, resume=True)
+    assert not os.path.exists(os.path.join(d, "Step.json"))
+    import json
+
+    with open(os.path.join(d, "Epoch.json")) as f:
+        counters = json.load(f)
+    assert counters["Epoch"] == 0
+    # full epoch = 4 items = 2 fused calls of k=1 steps each; the crash
+    # consumed 1 call, resume must add only the remaining one
+    assert counters["Train_Step"] == 2
