@@ -30,7 +30,10 @@ def main():
         num_channels=[16, 32, 64, 128], num_freqs=201, hidden=512,
         segment_length=3200, num_layers=2, num_inputs=3, kernel_size=3,
         remat=False,  # inference: no rematerialization
-        use_pallas_gru="auto",  # fused GRU kernel where measured faster
+        # scan, NOT the pallas kernel: composed into the full model the
+        # custom call halves whole-model xRT (1118x -> 560x measured;
+        # rnn_seq.pallas_profitable CAVEAT) even where it wins isolated
+        use_pallas_gru=False,
     )
     params = model.init(jax.random.PRNGKey(0))
     seconds = 3.0
@@ -59,7 +62,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = 4, 24
+    # wide K gap: at ~2.7 ms/iteration the chained work must dwarf the
+    # relay's multi-ms jitter or the slope is noise (a 20-iteration gap
+    # once produced negative slopes on the fastest models)
+    k1, k2 = 4, 204
     t1 = timed(make_runner(k1))
     t2 = timed(make_runner(k2))
     per_iter = max((t2 - t1) / (k2 - k1), 1e-9)

@@ -140,19 +140,13 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
         raise SystemExit(
             f"error: no config section for model '{model_name}'; "
             f"registered models: {sorted(MODEL_REGISTRY)}")
-    # Inference default: fused Pallas recurrent kernels where measured
-    # faster (rnn_seq.pallas_profitable; scan elsewhere and on CPU).
-    # Training keeps the scan path — the kernels don't truncate
-    # gradients at chunk boundaries — so the flip lives here, not in
-    # the model constructors.
-    import inspect
-
+    # Inference default: XLA scan. The fused Pallas kernels win in
+    # isolation at rows<=8 but HALVE whole-model xRT when composed
+    # into the CRN program (custom-call fusion barrier; measured
+    # 1118x -> 560x — rnn_seq.pallas_profitable CAVEAT). Opt in per
+    # model section with use_pallas_gru/use_pallas_rnn for standalone
+    # RNN serving.
     section = dict(config[model_name])
-    accepted = inspect.signature(
-        MODEL_REGISTRY[model_name].__init__).parameters
-    for k in ("use_pallas_gru", "use_pallas_rnn"):
-        if k in accepted:
-            section.setdefault(k, "auto")
     model = build_model(model_name, section)
     params = model.init(jax.random.PRNGKey(0))
 

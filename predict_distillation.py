@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--num_items", default=None, type=int)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight-quantized student inference")
+    parser.add_argument("--pallas", action="store_true",
+                        help="opt into the fused Pallas GRU (isolated-"
+                             "kernel win; loses composed — see rnn_seq)")
     parser.add_argument("--weights", default=None, type=str,
                         help="Explicit checkpoint path override")
     parser.add_argument("--out_json", default=None, type=str,
@@ -34,10 +37,12 @@ def main():
     config = load_config(args.config_path)
     section = dict(config["TemporalCRN"])
     model = DistillationCRN(**section)
-    # inference default: fused Pallas GRU where measured faster (the
-    # student is the rows=1 streaming case, 2.46x device win —
-    # rnn_seq.pallas_profitable; resolves to the scan on CPU)
-    model.student.use_pallas_gru = "auto"
+    # inference default: XLA scan — the Pallas GRU wins isolated at
+    # rows=1 but loses composed into the full model (fusion barrier,
+    # rnn_seq.pallas_profitable CAVEAT); opt in via --pallas for
+    # standalone-RNN-style serving experiments
+    if getattr(args, "pallas", False):
+        model.student.use_pallas_gru = "auto"
     params = model.init(jax.random.PRNGKey(0))
 
     ckpt = args.weights or os.path.join(

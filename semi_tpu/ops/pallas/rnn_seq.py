@@ -59,6 +59,14 @@ def pallas_profitable(rows: int, num_layers: int) -> bool:
     H=512 additionally overflows the ~16 MB VMEM core (weights + state
     + double-buffered step blocks). Only the 2-layer fused form exists,
     and only the TPU backend runs the compiled (non-interpret) kernel.
+
+    CAVEAT (round 3, measured): this table holds for the kernel IN
+    ISOLATION. Composed into the full TemporalCRN inference program the
+    custom call is a fusion barrier (layout copies at the boundary, no
+    overlap with the surrounding convs), and the whole-model slope xRT
+    HALVES: 1118x (scan) -> 560x (pallas) per 3 s utterance. The
+    product CLIs therefore default to the scan; "auto" answers
+    isolated-kernel profitability only (standalone RNN serving).
     """
     return (jax.default_backend() == "tpu" and num_layers == 2
             and rows <= 8)

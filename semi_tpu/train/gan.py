@@ -281,8 +281,16 @@ class GanProcessor:
         if bs > 1:
             k = scfg.get("k_batches",
                          self.config.get("denoise", {}).get("k_batches", 4))
+            # Regimen fidelity: the reference's NoamScheduler steps once
+            # per UTTERANCE (Hifi-GAN/train.py:212-217, batch_size=1), so
+            # n_warm_steps counts utterances. One fused step consumes B
+            # utterances — scale the warmup horizon accordingly, else the
+            # effective LR schedule runs B times slower per utterance
+            # (measured: stage 2 at B=16 left the mask path at noisy-level
+            # STFT loss because LR never left the warmup floor).
+            n_warm_eff = max(1, n_warm // bs)
             self._train_utterance(stage, params, g_opt, d_opt, bs, k,
-                                  lr, n_warm, max_norm, writer, num_epoch,
+                                  lr, n_warm_eff, max_norm, writer, num_epoch,
                                   avg_step)
             return
 

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 SECONDS = 3.0
 LENGTH = int(SECONDS * 16000)
-K1, K2 = 2, 10
+# wide K gap: fast models run ~2 ms per 3-s utterance, so the chained
+# work between K1 and K2 must dwarf the relay's multi-ms jitter (a
+# 8-iteration gap produced negative slopes on HifiGAN/student)
+K1, K2 = 2, 152
 
 
 def slope_xrt(model, params, run_one):
@@ -81,12 +84,11 @@ def main():
     for name in ("TemporalCRN", "TemporalCRN_v1", "FullSubNet", "GTSA",
                  "GeneralBeamformer"):
         sect = dict(config[name])
-        accepted = inspect.signature(MODEL_REGISTRY[name].__init__).parameters
         if name.startswith("Temporal"):
             sect.setdefault("remat", False)
-        for k in ("use_pallas_gru", "use_pallas_rnn"):
-            if k in accepted:
-                sect.setdefault(k, "auto")
+        # XLA scan everywhere — the product inference default (the
+        # pallas kernels lose composed into full models, rnn_seq
+        # pallas_profitable CAVEAT)
         try:
             bench(name, build_model(name, sect))
         except Exception as e:
@@ -97,7 +99,6 @@ def main():
     # distilled student (the 0.8M product model)
     try:
         m = DistillationCRN(**{k: v for k, v in config["TemporalCRN"].items()})
-        m.student.use_pallas_gru = "auto"
         bench("DistilledStudent", m)
     except Exception as e:
         rows.append({"model": "DistilledStudent", "xRT": None,
