@@ -142,3 +142,44 @@ def test_utterance_mode_midepoch_ckpt_and_resume(gan_config, tmp_path):
     # full epoch = 4 items = 2 fused calls of k=1 steps each; the crash
     # consumed 1 call, resume must add only the remaining one
     assert counters["Train_Step"] == 2
+
+
+def test_fused_warmup_counts_utterances(gan_config, tmp_path):
+    """Regimen fidelity: the reference's NoamScheduler steps once per
+    UTTERANCE (Hifi-GAN/train.py:212-217, batch_size=1), so n_warm_steps
+    is an utterance count. The fused engine consumes batch_streams
+    utterances per optimizer step and must shrink the warmup horizon by
+    that factor (gan.py n_warm_eff) — the un-scaled horizon left stage 2
+    at the warmup-floor LR for the whole run (near-identity generator)."""
+    import copy as _copy
+
+    import yaml as _yaml
+
+    from semi_tpu.train import gan as gan_mod
+    from semi_tpu.train.gan import GanProcessor
+
+    path, cfg = gan_config
+    cfg = _copy.deepcopy(cfg)
+    cfg["stage1"].update({"batch_streams": 4, "k_batches": 1,
+                          "n_warm_steps": 100})
+    cfg["config"]["mix_length"] = 16000
+    p = tmp_path / "warm.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+
+    seen = {}
+    real = GanProcessor._train_utterance
+
+    def spy(self, stage, params, g_opt, d_opt, b, k, lr, n_warm, *a, **kw):
+        seen["n_warm"] = n_warm
+        seen["b"] = b
+        return None  # skip the actual run
+
+    gan_mod.GanProcessor._train_utterance = spy
+    try:
+        GanProcessor(str(p), user_defined_name="w").train(stage=1,
+                                                          resume=False)
+    finally:
+        gan_mod.GanProcessor._train_utterance = real
+
+    assert seen["b"] == 4
+    assert seen["n_warm"] == 100 // 4
