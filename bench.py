@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -34,6 +35,11 @@ def main():
         # custom call halves whole-model xRT (1118x -> 560x measured;
         # rnn_seq.pallas_profitable CAVEAT) even where it wins isolated
         use_pallas_gru=False,
+        # bf16 network compute: quality parity is pinned (BENCHMARKS
+        # round-3 paired eval: STOI/PESQ deltas < 0.001) and the serial
+        # GRU chain is weight-bandwidth-bound, so halving weight bytes
+        # buys measured xRT (1143x f32 -> 1198x bf16 on one v5e core)
+        compute_dtype=os.environ.get("SEMI_BENCH_DTYPE", "bfloat16"),
     )
     params = model.init(jax.random.PRNGKey(0))
     seconds = 3.0

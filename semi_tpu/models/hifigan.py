@@ -600,14 +600,20 @@ class HifiGAN:
         if phase:
             pp = ps / pm[..., None]
             rp = rs / rm[..., None]
-            pmc, rmc = pm ** 0.3, rm ** 0.3
-            mag_loss = 0.7 * jnp.mean(jnp.abs(pmc - rmc)) + 0.3 * jnp.mean(
-                jnp.abs(pmc[..., None] * pp - rmc[..., None] * rp))
+            # the reference REASSIGNS pred_mag/real_mag to the 0.3-power
+            # form before the spectral-convergence term (hifigan.py:
+            # 1000-1002, 1005) — at stages 1/2 SC operates on COMPRESSED
+            # magnitudes; only the phase=False branch sees raw magnitudes
+            pm, rm = pm ** 0.3, rm ** 0.3
+            mag_loss = 0.7 * jnp.mean(jnp.abs(pm - rm)) + 0.3 * jnp.mean(
+                jnp.abs(pm[..., None] * pp - rm[..., None] * rp))
         else:
             mag_loss = jnp.mean(jnp.abs(jnp.log(pm) - jnp.log(rm)))
-        sc_loss = jnp.mean(
-            jnp.linalg.norm((pm - rm).reshape(pm.shape[0], -1), axis=-1) /
-            (jnp.linalg.norm(pm.reshape(pm.shape[0], -1), axis=-1) + 1e-12))
+        # reference quirks kept verbatim (hifigan.py:1005): Frobenius norm
+        # over the WHOLE batch tensor (not per-item), and normalized by
+        # the PREDICTION's norm (canonical SC divides by the reference's)
+        sc_loss = (jnp.linalg.norm((pm - rm).reshape(-1)) /
+                   (jnp.linalg.norm(pm.reshape(-1)) + 1e-12))
         return mag_loss + sc_loss
 
     @staticmethod

@@ -105,3 +105,45 @@ def test_eval_contract(gan):
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 3200)) * 0.1
     y, st = m.realtime_process(params, None, x, flag=False)
     assert y.shape == (1, 3200)
+
+
+def test_stft_loss_matches_reference_formula():
+    """Golden test of HifiGAN.stft_loss vs the reference's torch form
+    (reference Hifi-GAN/hifigan.py:986-1010), including the quirks kept
+    verbatim: 0.3-power compression applied BEFORE the spectral-
+    convergence term in the phase branch, SC as a global (whole-batch)
+    Frobenius norm, and SC normalized by the PREDICTION's norm."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(7)
+    pred = rng.randn(2, 4000).astype(np.float32) * 0.3
+    real = (pred + rng.randn(2, 4000).astype(np.float32) * 0.1)
+
+    def torch_loss(phase):
+        tp, tr = torch.from_numpy(pred), torch.from_numpy(real)
+        win = torch.hann_window(200)
+        # pad_mode='constant' to match our zero-pad centering; the
+        # reference's default reflect differs only in edge frames
+        ps = torch.stft(tp, 400, 200, 200, win, pad_mode="constant",
+                        return_complex=False)
+        rs = torch.stft(tr, 400, 200, 200, win, pad_mode="constant",
+                        return_complex=False)
+        pm = torch.sqrt(torch.clamp(ps[..., 0] ** 2 + ps[..., 1] ** 2,
+                                    min=1e-14)).unsqueeze(-1)
+        rm = torch.sqrt(torch.clamp(rs[..., 0] ** 2 + rs[..., 1] ** 2,
+                                    min=1e-14)).unsqueeze(-1)
+        if phase:
+            pp, rp = ps / pm, rs / rm
+            pm, rm = pm ** 0.3, rm ** 0.3
+            mag = 0.7 * torch.mean(torch.abs(pm - rm)) + \
+                0.3 * torch.mean(torch.abs(pm * pp - rm * rp))
+        else:
+            mag = torch.mean(torch.abs(torch.log(pm) - torch.log(rm)))
+        sc = torch.norm(pm - rm, p="fro") / torch.norm(pm, p="fro")
+        return float(mag + sc)
+
+    for phase in (False, True):
+        ours = float(HifiGAN.stft_loss(jnp.asarray(pred), jnp.asarray(real),
+                                       phase=phase))
+        assert abs(ours - torch_loss(phase)) < 2e-3, (phase, ours,
+                                                      torch_loss(phase))
