@@ -42,6 +42,14 @@ def main():
         compute_dtype=os.environ.get("SEMI_BENCH_DTYPE", "bfloat16"),
     )
     params = model.init(jax.random.PRNGKey(0))
+    # SEMI_BENCH_QUANT=int8: weights live int8-resident in HBM and the
+    # per-row dequant compiles into the consuming matmuls (the
+    # predict.py --quantize path; quality pinned by eval artifact)
+    quant = os.environ.get("SEMI_BENCH_QUANT", "") == "int8"
+    if quant:
+        from semi_tpu.ops.quant import dequantize_tree, quantize_tree
+
+        params, _ = quantize_tree(params)
     seconds = 3.0
     length = int(seconds * 16000)
 
@@ -51,7 +59,8 @@ def main():
         @jax.jit
         def run(params):
             def body(acc, x):
-                y, _ = model.realtime_process(params, None, x, flag=False)
+                p = dequantize_tree(params) if quant else params
+                y, _ = model.realtime_process(p, None, x, flag=False)
                 return acc + jnp.sum(y), None
 
             total, _ = jax.lax.scan(body, jnp.zeros(()), xs)

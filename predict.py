@@ -132,7 +132,7 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
 def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
             profile_dir: str | None = None, dump_dir: str | None = None,
-            out_json: str | None = None):
+            out_json: str | None = None, quantize: bool = False):
     config = load_config(config_path)
     from semi_tpu.models import MODEL_REGISTRY
 
@@ -159,9 +159,32 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
     else:
         print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
 
-    run = jax.jit(
-        lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
-    return evaluate_streaming(run, params, config, model_name, ckpt,
+    tag = model_name
+    if quantize:
+        # int8-RESIDENT inference for ANY family (generalizes the
+        # distilled student's path, predict_distillation.py): RNN/Linear
+        # 2-D weights live in HBM as int8 + per-row scales and are the
+        # jitted program's INPUTS; dequantization compiles into the
+        # consuming matmuls. On the weight-bandwidth-bound streaming GRU
+        # chain this halves recurrent weight traffic vs bf16.
+        from semi_tpu.ops.quant import dequantize_tree, quantize_tree
+
+        def _bytes(tree):
+            return sum(l.size * l.dtype.itemsize
+                       for l in jax.tree_util.tree_leaves(tree))
+
+        f32_bytes = _bytes(params)
+        params, _ = quantize_tree(params)
+        print(f"int8-resident {model_name}: device weight bytes "
+              f"{f32_bytes} -> {_bytes(params)} "
+              f"({_bytes(params) / f32_bytes:.2f}x)")
+        run = jax.jit(lambda qp, x: model.realtime_process(
+            dequantize_tree(qp), None, x, flag=False)[0])
+        tag = model_name + "[int8]"
+    else:
+        run = jax.jit(
+            lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
+    return evaluate_streaming(run, params, config, tag, ckpt,
                               num_items=num_items, profile_dir=profile_dir,
                               dump_dir=dump_dir, out_json=out_json)
 
@@ -181,8 +204,11 @@ if __name__ == "__main__":
                         help="Write enhanced/noisy/ref wavs per item")
     parser.add_argument("--out_json", default=None, type=str,
                         help="Write per-item + mean metrics as JSON")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8-resident RNN/Linear weights "
+                             "(dequant fused into the compiled program)")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
             profile_dir=args.profile_dir, dump_dir=args.dump_dir,
-            out_json=args.out_json)
+            out_json=args.out_json, quantize=args.quantize)

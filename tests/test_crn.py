@@ -256,3 +256,28 @@ def test_crn_bf16_batched_step():
     ts, state, metrics = step(ts, state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert jax.tree.leaves(ts.params)[0].dtype == jnp.float32
+
+
+def test_int8_resident_flagship_inference(tiny):
+    """The generic predict.py --quantize path: RNN/Linear 2-D weights as
+    int8+scale program inputs, dequant compiled into the program. Output
+    must stay close to f32 (per-row symmetric int8 error ~0.4% of the
+    row max) and some weight leaves must actually be int8-resident."""
+    from semi_tpu.ops.quant import dequantize_tree, quantize_tree
+
+    model, params = tiny
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 4800)) * 0.1
+    y_f32, _ = model.realtime_process(params, None, x, flag=False)
+
+    qparams, mask = quantize_tree(params)
+    assert any(mask), "no weight leaf was quantized"
+    q_leaves = [l for l in jax.tree.leaves(qparams)
+                if hasattr(l, "dtype") and l.dtype == jnp.int8]
+    assert q_leaves, "quantized tree holds no int8 leaves"
+
+    run = jax.jit(lambda qp, xx: model.realtime_process(
+        dequantize_tree(qp), None, xx, flag=False)[0])
+    y_q = run(qparams, x)
+    err = float(jnp.linalg.norm(y_q - y_f32) /
+                (jnp.linalg.norm(y_f32) + 1e-9))
+    assert err < 0.05, f"int8 path diverged: rel err {err:.4f}"
