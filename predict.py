@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from semi_tpu.data.dataset import LibriPartyDataset
-from semi_tpu.metrics.eval import si_sdr, stoi, wb_pesq
+from semi_tpu.metrics.eval import nb_pesq, si_sdr, stoi, wb_pesq
 from semi_tpu.models import build_model
 from semi_tpu.train.checkpoint import load_pytree
 from semi_tpu.utils.config import load_config
@@ -47,7 +47,8 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
     total = num_items or len(dataset)
     sums = {k: 0.0 for k in
             ("d_sisdr", "b_sisdr", "a_sisdr", "d_stoi", "b_stoi", "a_stoi",
-             "d_pesq", "b_pesq", "a_pesq")}
+             "d_pesq", "b_pesq", "a_pesq",
+             "d_npesq", "b_npesq", "a_npesq")}
     rtf_acc, count, rtf_count = 0.0, 0, 0
     seen_lengths: set = set()
     rows: list = []
@@ -84,18 +85,22 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
             write_wav(os.path.join(dump_dir, f"{i}_noisy.wav"), noisy)
             write_wav(os.path.join(dump_dir, f"{i}_ref.wav"), src)
 
+        # both PESQ modes, like the reference report (predict.py:105-118):
+        # wb = P.862.2, npesq = true 8 kHz 42-band narrowband P.862
         m_after = {
             "sisdr": si_sdr(src, pred),
             "stoi": stoi(src, pred, 16000),
             "pesq": wb_pesq(src, pred),
+            "npesq": nb_pesq(src, pred),
         }
         m_before = {
             "sisdr": si_sdr(src, noisy),
             "stoi": stoi(src, noisy, 16000),
             "pesq": wb_pesq(src, noisy),
+            "npesq": nb_pesq(src, noisy),
         }
         count += 1
-        for k in ("sisdr", "stoi", "pesq"):
+        for k in ("sisdr", "stoi", "pesq", "npesq"):
             sums[f"b_{k}"] += m_before[k]
             sums[f"a_{k}"] += m_after[k]
             sums[f"d_{k}"] += m_after[k] - m_before[k]
@@ -109,7 +114,9 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
               f"STOI {sums['b_stoi']/count:.4f} -> {sums['a_stoi']/count:.4f} "
               f"(d {sums['d_stoi']/count:+.4f}) | "
               f"PESQ~ {sums['b_pesq']/count:.3f} -> {sums['a_pesq']/count:.3f} "
-              f"(d {sums['d_pesq']/count:+.3f})", flush=True)
+              f"(d {sums['d_pesq']/count:+.3f}) | "
+              f"NB {sums['b_npesq']/count:.3f} -> {sums['a_npesq']/count:.3f} "
+              f"(d {sums['d_npesq']/count:+.3f})", flush=True)
 
     rtf = rtf_acc / max(rtf_count, 1)
     print(f"\nFinal over {count} items ({rtf_count} timed, compile excluded): "

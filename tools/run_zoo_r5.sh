@@ -1,22 +1,26 @@
 #!/bin/bash
 # Round-3 zoo completion: regimen-scale runs for the two families the
 # reference never published numbers for. GB mirrors the reference's own
-# training depth (its committed GB checkpoint counter stops at epoch
-# 14/80 — SURVEY.md 5.1); GTSA gets a 12-epoch evidence run (the
+# training depth in spirit (its committed GB checkpoint counter stops at
+# epoch 14/80 — SURVEY.md 5.1); GTSA gets a 12-epoch evidence run (the
 # reference "never intended to train it fully", README.md:69).
-# Each run ends with the shared per-item eval artifact.
+# Each run ends with the shared per-item eval artifact. The two runs are
+# independent: a failure in one must not block the other (GB at B=32
+# OOMed on the 16G chip once — batch_streams now 8).
 set -x
 cd "$(dirname "$0")/.."
 
-python train.py GeneralBeamformer ./config_gb.yaml --user_defined_name gb_r5 \
-  > runs/gb_r5_train.log 2>&1 || exit 1
-python predict.py ./config_gb.yaml GeneralBeamformer --user_defined_name gb_r5 \
-  --num_items 100 --out_json runs/eval_gb_r5.json \
-  > runs/eval_gb_r5.log 2>&1
-
 python train.py GTSA ./config_gtsa.yaml --user_defined_name gtsa_r5 \
-  > runs/gtsa_r5_train.log 2>&1 || exit 1
-python predict.py ./config_gtsa.yaml GTSA --user_defined_name gtsa_r5 \
+  > runs/gtsa_r5_train.log 2>&1 \
+&& python predict.py ./config_gtsa.yaml GTSA --user_defined_name gtsa_r5 \
   --num_items 100 --out_json runs/eval_gtsa_r5.json \
   > runs/eval_gtsa_r5.log 2>&1
+echo "GTSA_DONE rc=$?"
+
+python train.py GeneralBeamformer ./config_gb.yaml --user_defined_name gb_r5 \
+  > runs/gb_r5_train.log 2>&1 \
+&& python predict.py ./config_gb.yaml GeneralBeamformer --user_defined_name gb_r5 \
+  --num_items 100 --out_json runs/eval_gb_r5.json \
+  > runs/eval_gb_r5.log 2>&1
+echo "GB_DONE rc=$?"
 echo ZOO_R5_DONE
