@@ -1,12 +1,14 @@
 #!/bin/bash
-# Round-3 zoo completion: regimen-scale runs for the two families the
-# reference never published numbers for. GB mirrors the reference's own
-# training depth in spirit (its committed GB checkpoint counter stops at
-# epoch 14/80 — SURVEY.md 5.1); GTSA gets a 12-epoch evidence run (the
-# reference "never intended to train it fully", README.md:69).
+# Round-3 zoo completion: evidence-scale runs for the two families the
+# reference never published numbers for (GTSA: "never intended to train
+# it fully", README.md:69; GB: its committed checkpoint counter stops at
+# epoch 14/80 with no numbers, SURVEY.md 5.1). Measured pace on one v5e
+# core: GTSA ~52 min/epoch at B=4/K=16, so each family gets a 2-epoch
+# (40k-utterance) run — enough to demonstrate positive enhancement
+# deltas, extendable via --resume.
 # Each run ends with the shared per-item eval artifact. The two runs are
-# independent: a failure in one must not block the other (GB at B=32
-# OOMed on the 16G chip once — batch_streams now 8).
+# independent: a failure in one must not block the other (GB whole-
+# utterance backprop needs 61G HBM at B=8 -> piece engine at B=4).
 set -x
 cd "$(dirname "$0")/.."
 
