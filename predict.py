@@ -32,16 +32,24 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
                        num_items: int | None = None,
                        profile_dir: str | None = None,
                        dump_dir: str | None = None,
-                       out_json: str | None = None):
+                       out_json: str | None = None,
+                       snr_low: float = 0.0, snr_high: float = 25.0):
     """Shared eval loop: stream the test split through ``run(params, mix)``.
 
     Reports SI-SDR / STOI / PESQ before/after and RTF (compile excluded),
     and optionally writes the committable per-item JSON artifact. Reused
     by predict.py and predict_distillation.py so every family's eval
     produces the same artifact schema.
+
+    snr_low/snr_high re-pin the test split's mixing range (the
+    reference's 0-25 dB, data_c.py:48-50, is the default); a narrow low
+    range (e.g. -5..5) is the stress protocol that evaluates at the
+    noisy operating point instead of diluting deltas with near-clean
+    items.
     """
     dataset = LibriPartyDataset(config)
-    dataset.set_attribute("test", augment=False, perturb=False)
+    dataset.set_attribute("test", augment=False, perturb=False,
+                          snr_low=snr_low, snr_high=snr_high)
     dataset.init_seed(0)
 
     total = num_items or len(dataset)
@@ -130,7 +138,9 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
         os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
         with open(out_json, "w") as f:
             json.dump({"model": model_name, "weights": ckpt,
-                       "num_items": count, "items": rows,
+                       "num_items": count,
+                       "test_snr": [snr_low, snr_high],
+                       "items": rows,
                        "means": result}, f, indent=2)
         print(f"eval artifact -> {out_json}")
     return result
@@ -139,7 +149,8 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
 def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
             profile_dir: str | None = None, dump_dir: str | None = None,
-            out_json: str | None = None, quantize: bool = False):
+            out_json: str | None = None, quantize: bool = False,
+            snr_low: float = 0.0, snr_high: float = 25.0):
     config = load_config(config_path)
     from semi_tpu.models import MODEL_REGISTRY
 
@@ -193,7 +204,8 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             lambda p, x: model.realtime_process(p, None, x, flag=False)[0])
     return evaluate_streaming(run, params, config, tag, ckpt,
                               num_items=num_items, profile_dir=profile_dir,
-                              dump_dir=dump_dir, out_json=out_json)
+                              dump_dir=dump_dir, out_json=out_json,
+                              snr_low=snr_low, snr_high=snr_high)
 
 
 if __name__ == "__main__":
@@ -214,8 +226,13 @@ if __name__ == "__main__":
     parser.add_argument("--quantize", action="store_true",
                         help="int8-resident RNN/Linear weights "
                              "(dequant fused into the compiled program)")
+    parser.add_argument("--snr_low", default=0.0, type=float,
+                        help="Test-split mixing SNR low bound (dB)")
+    parser.add_argument("--snr_high", default=25.0, type=float,
+                        help="Test-split mixing SNR high bound (dB)")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
             profile_dir=args.profile_dir, dump_dir=args.dump_dir,
-            out_json=args.out_json, quantize=args.quantize)
+            out_json=args.out_json, quantize=args.quantize,
+            snr_low=args.snr_low, snr_high=args.snr_high)

@@ -32,6 +32,10 @@ def main():
                         help="Explicit checkpoint path override")
     parser.add_argument("--out_json", default=None, type=str,
                         help="Write per-item + mean metrics as JSON")
+    parser.add_argument("--snr_low", default=0.0, type=float,
+                        help="Test-split mixing SNR low bound (dB)")
+    parser.add_argument("--snr_high", default=25.0, type=float,
+                        help="Test-split mixing SNR high bound (dB)")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
@@ -85,7 +89,8 @@ def main():
 
     tag = "DistillationCRN[int8]" if args.quantize else "DistillationCRN"
     evaluate_streaming(run, student, config, tag, ckpt,
-                       num_items=args.num_items, out_json=args.out_json)
+                       num_items=args.num_items, out_json=args.out_json,
+                       snr_low=args.snr_low, snr_high=args.snr_high)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,10 @@ if __name__ == "__main__":
     parser.add_argument("--num_items", default=None, type=int)
     parser.add_argument("--weights", default=None, type=str)
     parser.add_argument("--out_json", default=None, type=str)
+    parser.add_argument("--snr_low", default=0.0, type=float)
+    parser.add_argument("--snr_high", default=25.0, type=float)
     args = parser.parse_args()
     predict(args.config_path, "FullSubNet", args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
-            out_json=args.out_json)
+            out_json=args.out_json,
+            snr_low=args.snr_low, snr_high=args.snr_high)

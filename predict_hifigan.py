@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--num_items", default=None, type=int)
     parser.add_argument("--out_json", default=None, type=str,
                         help="Write per-item + mean metrics as JSON")
+    parser.add_argument("--snr_low", default=0.0, type=float,
+                        help="Test-split mixing SNR low bound (dB)")
+    parser.add_argument("--snr_high", default=25.0, type=float,
+                        help="Test-split mixing SNR high bound (dB)")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
@@ -47,7 +51,8 @@ def main():
 
     evaluate_streaming(run, params, config, f"Hifi_GAN[stage{args.stage}]",
                        ckpt, num_items=args.num_items,
-                       out_json=args.out_json)
+                       out_json=args.out_json,
+                       snr_low=args.snr_low, snr_high=args.snr_high)
 
 
 if __name__ == "__main__":

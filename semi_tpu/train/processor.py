@@ -466,6 +466,7 @@ class Processor:
             sampler.close()
         count = num_calls * k
         dev_loss = self._dev_criterion(sums, count)
+        self._print_dev(epoch, sums, count, dev_loss)
         for name in ("loss", "logmse", "sisnr", "stoi"):
             self.writer.add_scalar(f"dev_loss/dev_{name}", sums[name] / count,
                                    self.dev_step_count)
@@ -473,6 +474,17 @@ class Processor:
             self.last_loss = dev_loss
             self.save_modules(stage_name, ts, save_weights=True)
         return ts, dev_loss
+
+    def _print_dev(self, epoch: int, sums: dict, count: int,
+                   dev_loss: float) -> None:
+        # console dev line per epoch, like the reference (train.py:232-234)
+        # — multi-hour runs must be greppable without TensorBoard
+        best = " *best*" if dev_loss < self.last_loss else ""
+        c = max(count, 1)
+        print(f"dev, Epoch: {epoch}\n"
+              f"loss: {sums['loss']/c:.4f}, logmse: {sums['logmse']/c:.4f}, "
+              f"sisnr: {sums['sisnr']/c:.4f}, stoi: {sums['stoi']/c:.4f}, "
+              f"criterion: {dev_loss:.4f}{best}", flush=True)
 
     def _run_epoch_dev(self, ts: TrainState, epoch: int, stage_name: str):
         if self._batch_streams > 1 and self._batch_mode == "utterance":
@@ -508,6 +520,7 @@ class Processor:
         # alone (train_distillation.py:220); others on the combined loss
         # unless denoise.dev_criterion selects an eval oracle
         dev_loss = self._dev_criterion(sums, count)
+        self._print_dev(epoch, sums, count, dev_loss)
         for name in ("loss", "logmse", "sisnr", "stoi"):
             self.writer.add_scalar(f"dev_loss/dev_{name}",
                                    sums[name] / max(count, 1),

@@ -31,6 +31,9 @@ def test_eval_artifact_schema(tmp_path):
 
     art = json.loads(out.read_text())
     assert art["model"] == "Identity" and art["num_items"] == 2
+    # mixing range is part of the artifact: evals at different operating
+    # points (e.g. the -5..5 dB stress protocol) must be distinguishable
+    assert art["test_snr"] == [0.0, 25.0]
     assert len(art["items"]) == 2
     for row in art["items"]:
         for side in ("noisy", "enhanced"):
@@ -46,3 +49,25 @@ def test_eval_artifact_schema(tmp_path):
         assert abs(means[f"d_{k}"]) < 1e-9  # identity => zero delta
         got = np.mean([r["noisy"][k] for r in art["items"]])
         assert np.isclose(means[f"b_{k}"], got)
+
+
+def test_eval_snr_override_changes_operating_point(tmp_path):
+    """--snr_low/--snr_high actually re-pin the test mixing range: the
+    same items mixed at -5..-5 dB must score a much lower noisy SI-SDR
+    than at +25..+25 dB (stress protocol vs near-clean)."""
+    from predict import evaluate_streaming
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+
+    def run(params, mix):
+        return np.asarray(mix)[:, 0]
+
+    lo = evaluate_streaming(run, None, cfg, "Identity", "none", num_items=2,
+                            out_json=str(tmp_path / "lo.json"),
+                            snr_low=-5.0, snr_high=-5.0)
+    hi = evaluate_streaming(run, None, cfg, "Identity", "none", num_items=2,
+                            out_json=str(tmp_path / "hi.json"),
+                            snr_low=25.0, snr_high=25.0)
+    assert lo["b_sisdr"] < hi["b_sisdr"] - 10.0
+    art = json.loads((tmp_path / "lo.json").read_text())
+    assert art["test_snr"] == [-5.0, -5.0]
