@@ -118,7 +118,23 @@ class Processor:
         rest_t = {"opt_state": ts.opt_state, "grad_accum": ts.grad_accum,
                   "accum_count": ts.accum_count, "plateau": ts.plateau,
                   "step": ts.step}
-        rest = load_pytree(os.path.join(d, "optimizer.npz"), rest_t)
+        opt_path = os.path.join(d, "optimizer.npz")
+        if os.path.exists(opt_path):
+            rest = load_pytree(opt_path, rest_t)
+        else:
+            # weights-only checkpoint (optimizer state is large and often
+            # not distributed — this repo commits <Model>.npz + Epoch.json
+            # and gitignores optimizer.npz): WARM-START rather than fail.
+            # Adam moments/accumulators restart fresh; the step counter is
+            # realigned to the logged Train_Step so step-driven schedules
+            # keep their position. Epoch progression below is unchanged,
+            # so `--resume True` continues the epoch plan either way.
+            counters = load_counters(os.path.join(d, "Epoch.json"))
+            rest = dict(rest_t)
+            rest["step"] = jnp.asarray(counters["Train_Step"], jnp.int32)
+            print(f"resume: {opt_path} not found — warm-starting from "
+                  f"weights + counters (fresh optimizer state, step="
+                  f"{counters['Train_Step']})", flush=True)
         counters = load_counters(os.path.join(d, "Epoch.json"))
         self.epoch = counters["Epoch"]
         self.train_step_count = counters["Train_Step"]

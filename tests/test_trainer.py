@@ -85,6 +85,46 @@ def test_train_epoch_and_resume(config, tmp_path):
     assert proc2.epoch == 1
 
 
+def test_resume_warm_start_without_optimizer(config, tmp_path):
+    """A weights-only checkpoint (<Model>.npz + Epoch.json, no
+    optimizer.npz — the shape this repo commits) must still resume:
+    warm-start with a fresh optimizer, step realigned to Train_Step."""
+    from semi_tpu.train.processor import Processor
+
+    path = _write_config(config, tmp_path)
+    proc = Processor("TemporalCRN", path, user_defined_name="w")
+    proc.train(stage=0, resume=False)
+    ckpt_dir = os.path.join(config["config"]["checkpoint_dir"], "denoise", "w")
+    os.remove(os.path.join(ckpt_dir, "optimizer.npz"))
+    saved = proc._final_ts.params
+
+    cfg2 = copy.deepcopy(config)
+    cfg2["denoise"]["num_epoch"] = 2
+    path2 = _write_config(cfg2, tmp_path)
+    proc2 = Processor("TemporalCRN", path2, user_defined_name="w")
+    # resume must start FROM the committed weights (not re-init) ...
+    import semi_tpu.train.processor as proc_mod
+
+    orig_load = proc_mod.Processor.load_modules
+
+    def spy(self, stage_name, ts):
+        out = orig_load(self, stage_name, ts)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), out.params, saved)
+        assert max(jax.tree.leaves(diffs)) == 0
+        assert int(out.step) == self.train_step_count
+        return out
+
+    proc_mod.Processor.load_modules = spy
+    try:
+        proc2.train(stage=0, resume=True)
+    finally:
+        proc_mod.Processor.load_modules = orig_load
+    # ... and continue the epoch plan as a normal resume would
+    assert proc2.epoch == 1
+    assert np.isfinite(proc2.last_loss)
+
+
 def test_params_change_during_training(config, tmp_path):
     from semi_tpu.train.processor import Processor
 
