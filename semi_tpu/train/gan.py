@@ -21,7 +21,8 @@ import optax
 from semi_tpu.data.dataset import LibriPartyDataset
 from semi_tpu.models.hifigan import HifiGAN
 from semi_tpu.train.checkpoint import (
-    load_counters, load_pytree, save_counters, save_pytree)
+    AsyncCheckpointWriter, load_counters, load_pytree, save_counters,
+    save_pytree)
 from semi_tpu.train.optim import make_optimizer, noam_lr
 from semi_tpu.utils.config import load_config, validate_model_section
 from semi_tpu.utils.tb import ScalarWriter
@@ -139,6 +140,10 @@ class GanProcessor:
         self.epoch = -1
         self.train_step_count = 0
         self.stage = 1
+        # config.async_ckpt: background writer, same contract as Processor
+        self._ckpt_writer = (AsyncCheckpointWriter()
+                             if self.config["config"].get("async_ckpt")
+                             else None)
 
     def _stage_dir(self, stage: int) -> str:
         return os.path.join(self.config["config"]["checkpoint_dir"],
@@ -155,20 +160,32 @@ class GanProcessor:
         Processor), a zero one clears it."""
         d = self._stage_dir(stage)
         os.makedirs(d, exist_ok=True)
-        save_pytree(os.path.join(d, "Hifi_GAN.npz"), params)
-        save_pytree(os.path.join(d, "optimizer.npz"),
-                    {"g_opt": g_opt,
-                     "d_opt": d_opt if d_opt is not None else g_opt})
-        save_counters(os.path.join(d, "Epoch.json"), self.epoch,
-                      self.train_step_count, dev_step, dev_loss)
+        w = self._ckpt_writer
+        save_tree = w.save_pytree if w else save_pytree
+        save_cnt = w.save_counters if w else save_counters
+        save_tree(os.path.join(d, "Hifi_GAN.npz"), params)
+        save_tree(os.path.join(d, "optimizer.npz"),
+                  {"g_opt": g_opt,
+                   "d_opt": d_opt if d_opt is not None else g_opt})
+        save_cnt(os.path.join(d, "Epoch.json"), self.epoch,
+                 self.train_step_count, dev_step, dev_loss)
         step_file = os.path.join(d, "Step.json")
-        if step_in_epoch:
-            import json
-            with open(step_file + ".tmp", "w") as f:
-                json.dump({"Step_In_Epoch": step_in_epoch}, f)
-            os.replace(step_file + ".tmp", step_file)
-        elif os.path.exists(step_file):
-            os.remove(step_file)
+
+        def _update_step_marker():
+            if step_in_epoch:
+                import json
+                with open(step_file + ".tmp", "w") as f:
+                    json.dump({"Step_In_Epoch": step_in_epoch}, f)
+                os.replace(step_file + ".tmp", step_file)
+            elif os.path.exists(step_file):
+                os.remove(step_file)
+
+        if w:
+            # through the same queue: the marker must never point past
+            # weights that have not landed yet
+            w.submit(_update_step_marker)
+        else:
+            _update_step_marker()
 
     def _make_steps(self, stage: int, lr: float, n_warm: int, max_norm: float):
         tx = make_optimizer(max_norm)
@@ -361,6 +378,8 @@ class GanProcessor:
                              dev_step=dev_n, dev_loss=dev_g / max(dev_n, 1))
             writer.flush()
         self._final_params = params
+        if self._ckpt_writer:
+            self._ckpt_writer.wait()
 
     def _train_utterance(self, stage, params, g_opt, d_opt, b, k,
                          lr, n_warm, max_norm, writer, num_epoch, avg_step):
@@ -527,3 +546,5 @@ class GanProcessor:
                              dev_step=count, dev_loss=dg / count)
             writer.flush()
         self._final_params = params
+        if self._ckpt_writer:
+            self._ckpt_writer.wait()

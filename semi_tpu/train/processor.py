@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from semi_tpu.data.dataset import LibriPartyDataset
 from semi_tpu.models import build_model
 from semi_tpu.train.checkpoint import (
-    load_counters, load_pytree, save_counters, save_pytree)
+    AsyncCheckpointWriter, load_counters, load_pytree, save_counters,
+    save_pytree)
 from semi_tpu.train.optim import plateau_step
 from semi_tpu.train.step import (
     TrainState, init_train_state, make_eval_step, make_train_step)
@@ -74,6 +75,11 @@ class Processor:
         self.last_loss = 1e8
         self.writer = None
         self._jit_cache: dict = {}
+        # config.async_ckpt: serialize checkpoints on a background
+        # writer thread (ordering + atomicity contract in checkpoint.py)
+        self._ckpt_writer = (AsyncCheckpointWriter()
+                             if self.config["config"].get("async_ckpt")
+                             else None)
 
     # -- paths ----------------------------------------------------------
     def _stage_dir(self, stage_name: str) -> str:
@@ -93,24 +99,36 @@ class Processor:
                      save_weights: bool, step_in_epoch: int = 0) -> None:
         d = self._stage_dir(stage_name)
         os.makedirs(d, exist_ok=True)
+        w = self._ckpt_writer
+        save_tree = w.save_pytree if w else save_pytree
+        save_cnt = w.save_counters if w else save_counters
         if save_weights:
-            save_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
-        save_pytree(os.path.join(d, "optimizer.npz"),
-                    {"opt_state": ts.opt_state, "grad_accum": ts.grad_accum,
-                     "accum_count": ts.accum_count, "plateau": ts.plateau,
-                     "step": ts.step})
-        save_counters(os.path.join(d, "Epoch.json"), self.epoch,
-                      self.train_step_count, self.dev_step_count, self.last_loss)
+            save_tree(os.path.join(d, self.modelname + ".npz"), ts.params)
+        save_tree(os.path.join(d, "optimizer.npz"),
+                  {"opt_state": ts.opt_state, "grad_accum": ts.grad_accum,
+                   "accum_count": ts.accum_count, "plateau": ts.plateau,
+                   "step": ts.step})
+        save_cnt(os.path.join(d, "Epoch.json"), self.epoch,
+                 self.train_step_count, self.dev_step_count, self.last_loss)
         if step_in_epoch:
             # step-level checkpoint (SURVEY §5.3): enough to restart a
             # crashed run mid-epoch — weights always included
-            save_pytree(os.path.join(d, self.modelname + ".npz"), ts.params)
-            import json
+            save_tree(os.path.join(d, self.modelname + ".npz"), ts.params)
 
-            tmp = os.path.join(d, "Step.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump({"Step_In_Epoch": step_in_epoch}, f)
-            os.replace(tmp, os.path.join(d, "Step.json"))
+            def _write_step():
+                import json
+
+                tmp = os.path.join(d, "Step.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump({"Step_In_Epoch": step_in_epoch}, f)
+                os.replace(tmp, os.path.join(d, "Step.json"))
+
+            if w:
+                # through the same queue: Step.json must never point
+                # past weights that have not landed yet
+                w.submit(_write_step)
+            else:
+                _write_step()
 
     def load_modules(self, stage_name: str, ts: TrainState) -> TrainState:
         d = self._stage_dir(stage_name)
@@ -217,14 +235,25 @@ class Processor:
             self.epoch = epoch
             ts = self._run_epoch(ts, "train", epoch, start_index=start_index)
             start_index = 0
-            if os.path.exists(step_file):
-                os.remove(step_file)
+
+            def _clear_step():
+                if os.path.exists(step_file):
+                    os.remove(step_file)
+
+            if self._ckpt_writer:
+                # ordered behind any queued mid-epoch Step.json write —
+                # removing inline could resurrect a stale marker
+                self._ckpt_writer.submit(_clear_step)
+            else:
+                _clear_step()
             self.writer.flush()
             ts, dev_loss = self._run_epoch_dev(ts, epoch, stage_name)
             self.writer.flush()
             ts = ts._replace(plateau=plateau_step(ts.plateau, dev_loss))
             self.save_modules(stage_name, ts, save_weights=False)
         self._final_ts = ts
+        if self._ckpt_writer:
+            self._ckpt_writer.wait()  # every queued save landed (or raised)
 
     def _batch_to_device(self, data: dict) -> dict:
         return {
