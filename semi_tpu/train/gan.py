@@ -144,6 +144,7 @@ class GanProcessor:
         self._ckpt_writer = (AsyncCheckpointWriter()
                              if self.config["config"].get("async_ckpt")
                              else None)
+        self._watchdog = None  # config.stall_timeout (see train())
 
     def _stage_dir(self, stage: int) -> str:
         return os.path.join(self.config["config"]["checkpoint_dir"],
@@ -245,8 +246,29 @@ class GanProcessor:
                 jax.jit(gen_forward, static_argnums=3),
                 jax.jit(dev_step, static_argnums=3))
 
+    def _pet(self) -> None:
+        if self._watchdog is not None:
+            self._watchdog.pet()
+
     def train(self, stage: int = 1, resume: bool = False,
               load_model: bool = False) -> None:
+        """config.stall_timeout wraps the run in a StallWatchdog
+        (failure detection for relay wedges — watchdog.py)."""
+        stall_s = self.config["config"].get("stall_timeout", 0)
+        if not stall_s:
+            return self._train_impl(stage, resume, load_model)
+        from semi_tpu.train.watchdog import StallWatchdog
+
+        self._watchdog = StallWatchdog(
+            stall_s, context=f"Hifi_GAN stage{stage}").start()
+        try:
+            return self._train_impl(stage, resume, load_model)
+        finally:
+            self._watchdog.stop()
+            self._watchdog = None
+
+    def _train_impl(self, stage: int = 1, resume: bool = False,
+                    load_model: bool = False) -> None:
         self.stage = stage
         scfg = self.config.get(f"stage{stage}", self.config.get("denoise", {}))
         num_epoch = scfg.get("num_epoch", 1)
@@ -324,6 +346,7 @@ class GanProcessor:
 
             g_sum, d_sum, n = 0.0, 0.0, 0
             for i in range(len(self.dataset)):
+                self._pet()
                 data = self.dataset[i]
                 batch = {"mix": jnp.asarray(data["mix"]),
                          "source": jnp.asarray(data["source"][:, 0, 0])}
@@ -360,6 +383,7 @@ class GanProcessor:
             dev_ms = self.model.init_state(1)
             dev_g, dev_d, dev_n = 0.0, 0.0, 0
             for i in range(len(self.dataset)):
+                self._pet()
                 data = self.dataset[i]
                 batch = {"mix": jnp.asarray(data["mix"]),
                          "source": jnp.asarray(data["source"][:, 0, 0])}
@@ -481,6 +505,7 @@ class GanProcessor:
             g_sum = d_sum = 0.0
             try:
                 for i in range(start_call, num_calls):
+                    self._pet()
                     carry, ms = run(carry, sampler.next_batch())
                     g_sum += float(jnp.sum(ms["g"]))
                     d_sum += float(jnp.sum(ms["d"]))
@@ -528,6 +553,7 @@ class GanProcessor:
             ncall = max(1, len(ds) // (k * b))
             try:
                 for _ in range(ncall):
+                    self._pet()
                     ms = run_dev(params, s_dev.next_batch())
                     dg += float(jnp.sum(ms["g"]))
                     dd += float(jnp.sum(ms["d"]))

@@ -80,6 +80,13 @@ class Processor:
         self._ckpt_writer = (AsyncCheckpointWriter()
                              if self.config["config"].get("async_ckpt")
                              else None)
+        # config.stall_timeout (seconds): failure detection for relay
+        # wedges — started for the duration of train() (watchdog.py)
+        self._watchdog = None
+
+    def _pet(self) -> None:
+        if self._watchdog is not None:
+            self._watchdog.pet()
 
     # -- paths ----------------------------------------------------------
     def _stage_dir(self, stage_name: str) -> str:
@@ -231,26 +238,38 @@ class Processor:
             start_epoch = self.epoch  # re-enter the partial epoch
             print(f"resuming mid-epoch {start_epoch} at item {start_index}")
 
-        for epoch in range(start_epoch, num_epoch):
-            self.epoch = epoch
-            ts = self._run_epoch(ts, "train", epoch, start_index=start_index)
-            start_index = 0
+        stall_s = self.config["config"].get("stall_timeout", 0)
+        if stall_s:
+            from semi_tpu.train.watchdog import StallWatchdog
 
-            def _clear_step():
-                if os.path.exists(step_file):
-                    os.remove(step_file)
+            self._watchdog = StallWatchdog(
+                stall_s, context=f"{self.modelname} train").start()
+        try:
+            for epoch in range(start_epoch, num_epoch):
+                self.epoch = epoch
+                ts = self._run_epoch(ts, "train", epoch,
+                                     start_index=start_index)
+                start_index = 0
 
-            if self._ckpt_writer:
-                # ordered behind any queued mid-epoch Step.json write —
-                # removing inline could resurrect a stale marker
-                self._ckpt_writer.submit(_clear_step)
-            else:
-                _clear_step()
-            self.writer.flush()
-            ts, dev_loss = self._run_epoch_dev(ts, epoch, stage_name)
-            self.writer.flush()
-            ts = ts._replace(plateau=plateau_step(ts.plateau, dev_loss))
-            self.save_modules(stage_name, ts, save_weights=False)
+                def _clear_step():
+                    if os.path.exists(step_file):
+                        os.remove(step_file)
+
+                if self._ckpt_writer:
+                    # ordered behind any queued mid-epoch Step.json write —
+                    # removing inline could resurrect a stale marker
+                    self._ckpt_writer.submit(_clear_step)
+                else:
+                    _clear_step()
+                self.writer.flush()
+                ts, dev_loss = self._run_epoch_dev(ts, epoch, stage_name)
+                self.writer.flush()
+                ts = ts._replace(plateau=plateau_step(ts.plateau, dev_loss))
+                self.save_modules(stage_name, ts, save_weights=False)
+        finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
         self._final_ts = ts
         if self._ckpt_writer:
             self._ckpt_writer.wait()  # every queued save landed (or raised)
@@ -313,6 +332,7 @@ class Processor:
         items = prefetch_map(produce, range(start_index, len(self.dataset)),
                              depth=4)
         for i, batch, flag in items:
+            self._pet()
             ts, model_state, metrics = self._train_fn(
                 ts, model_state, batch, flag)
             pending.append(metrics)
@@ -369,6 +389,7 @@ class Processor:
 
         try:
             for i in range(num_batches):
+                self._pet()
                 batch = sampler.next_batch()
                 ts, model_state, metrics = self._batched_train_fn(
                     ts, model_state, batch)
@@ -448,6 +469,7 @@ class Processor:
         names = (("loss", "loss"), ("logmse", "aux"), ("sisnr", "sisnr"))
         try:
             for i in range(start_call, num_calls):
+                self._pet()
                 ts, ms = run(ts, sampler.next_batch())
                 # synchronize EVERY call: queued relay dispatches degrade
                 # ~16x (docs/BENCHMARKS.md), so in-flight depth stays 1
@@ -501,6 +523,7 @@ class Processor:
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0, "stoi": 0.0}
         try:
             for _ in range(num_calls):
+                self._pet()
                 ms = run(ts.params, sampler.next_batch())
                 sums["loss"] += float(jnp.sum(ms["loss"]))
                 sums["logmse"] += float(jnp.sum(ms["aux"]))
@@ -549,6 +572,7 @@ class Processor:
         count = 0
         for batch, flag in prefetch_map(produce, range(len(self.dataset)),
                                         depth=4):
+            self._pet()
             model_state, metrics, _ = self._eval_fn(
                 ts.params, model_state, batch, flag)
             pending.append(metrics)
