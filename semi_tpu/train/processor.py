@@ -165,6 +165,14 @@ class Processor:
         self.train_step_count = counters["Train_Step"]
         self.dev_step_count = counters["Dev_Step"]
         self.last_loss = counters["Last_Loss"]
+        if self.config[stage_name].get("reset_best_dev"):
+            # fine-tuning at a new operating point (e.g. a narrowed
+            # train/dev SNR range) makes the logged best incomparable to
+            # the new dev distribution; without a reset the best-dev gate
+            # may never fire and the run would save nothing
+            print("resume: reset_best_dev — best-dev gate re-armed",
+                  flush=True)
+            self.last_loss = float("inf")
         return TrainState(params=params, **rest)
 
     # -- the epoch loop ---------------------------------------------------

@@ -1,0 +1,38 @@
+"""Smoke coverage for the benchmark tools' driving machinery.
+
+tools/bench_latency.py is a TPU timing tool; its *numbers* only mean
+anything on hardware, but the harness around them (model construction
+from config.yaml, the scan-carried continuation loop, the JSON
+artifact) must keep working as the models evolve. SEMI_LAT_SMOKE runs
+the identical code path with tiny K on CPU.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_latency_smoke(tmp_path):
+    out = tmp_path / "lat.json"
+    env = dict(os.environ,
+               SEMI_LAT_SMOKE="1",
+               SEMI_LAT_OUT=str(out),
+               JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_latency.py")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (
+        f"bench_latency failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+
+    rows = json.loads(out.read_text())
+    assert [r["model"] for r in rows] == ["TemporalCRN", "DistilledStudent"]
+    for r in rows:
+        # both models must actually run the chained continuation loop
+        assert r.get("note") is None
+        assert r["latency_ms"] is not None and r["latency_ms"] > 0
+        assert r["chunk_ms"] == 200.0

@@ -125,6 +125,51 @@ def test_resume_warm_start_without_optimizer(config, tmp_path):
     assert np.isfinite(proc2.last_loss)
 
 
+def test_reset_best_dev_rearms_gate(config, tmp_path):
+    """Fine-tuning at a new operating point (e.g. a narrowed SNR range)
+    makes the logged best-dev incomparable: if the old best is
+    unbeatable under the new dev distribution, weights would NEVER be
+    saved. `denoise.reset_best_dev: true` re-arms the gate on resume."""
+    import json
+
+    from semi_tpu.train.processor import Processor
+
+    path = _write_config(config, tmp_path)
+    Processor("TemporalCRN", path, user_defined_name="r").train(
+        stage=0, resume=False)
+    d = os.path.join(config["config"]["checkpoint_dir"], "denoise", "r")
+    wpath = os.path.join(d, "TemporalCRN.npz")
+
+    def tamper():
+        with open(os.path.join(d, "Epoch.json")) as f:
+            c = json.load(f)
+        c["Last_Loss"] = -1e9  # an unbeatably good logged best
+        with open(os.path.join(d, "Epoch.json"), "w") as f:
+            json.dump(c, f)
+
+    # without the flag: the gate never fires, weights stay stale
+    tamper()
+    before = open(wpath, "rb").read()
+    cfg2 = copy.deepcopy(config)
+    cfg2["denoise"]["num_epoch"] = 2
+    proc2 = Processor("TemporalCRN", _write_config(cfg2, tmp_path),
+                      user_defined_name="r")
+    proc2.train(stage=0, resume=True)
+    assert proc2.last_loss == -1e9
+    assert open(wpath, "rb").read() == before
+
+    # with the flag: first dev epoch saves, last_loss becomes real
+    tamper()
+    cfg3 = copy.deepcopy(config)
+    cfg3["denoise"]["num_epoch"] = 3
+    cfg3["denoise"]["reset_best_dev"] = True
+    proc3 = Processor("TemporalCRN", _write_config(cfg3, tmp_path),
+                      user_defined_name="r")
+    proc3.train(stage=0, resume=True)
+    assert np.isfinite(proc3.last_loss) and proc3.last_loss > -1e9
+    assert open(wpath, "rb").read() != before
+
+
 def test_params_change_during_training(config, tmp_path):
     from semi_tpu.train.processor import Processor
 

@@ -109,10 +109,11 @@ def main():
         print(f"DistilledStudent: FAILED ({type(e).__name__}: {e})",
               flush=True)
 
-    os.makedirs("runs", exist_ok=True)
-    with open("runs/bench_latency.json", "w") as f:
+    out = os.environ.get("SEMI_LAT_OUT", "runs/bench_latency.json")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
         json.dump(rows, f, indent=2)
-    print("-> runs/bench_latency.json")
+    print(f"-> {out}")
 
 
 if __name__ == "__main__":
