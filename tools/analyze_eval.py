@@ -1,0 +1,106 @@
+"""Per-masker failure-mode breakdown of an eval artifact.
+
+Joins a committed eval JSON (runs/eval_*.json, schema pinned by
+tests/test_predict_eval.py) against the corpus generator's masker
+inventory: the noise file an eval item used is recovered by replaying
+the dataset's deterministic per-index rng chain (dataset.py _rng), and
+that file's masker kind by replaying the generator's per-file seed
+(tools/generate_corpus.py:272 SeedSequence([seed0, i, tag, 2]) — the
+length draw precedes the kind draw in synth_noise).
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      python tools/analyze_eval.py runs/eval_distill_stress.json \
+        --config config_parity.yaml --snr_low -5 --snr_high 5
+
+The mixing protocol flags MUST match the ones the artifact was made
+with (they are pinned inside it as `test_snr`; the tool checks).
+"""
+
+import argparse
+import json
+import os
+import sys
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+KINDS = ("impulse", "babble", "am", "pink")
+
+
+def kind_name(k: int) -> str:
+    # inventory split in generate_corpus.synth_noise: 0-2 impulse train,
+    # 3-5 talker babble, 6 syllable-rate AM hiss, 7 pink
+    return "impulse" if k < 3 else ("babble" if k < 6 else
+                                    ("am" if k == 6 else "pink"))
+
+
+def noise_kind(idx: int, seed0: int = 3000) -> str:
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed0, idx, zlib.crc32(b"noise"), 2]))
+    rng.uniform(8.0, 15.0)  # the length draw comes first
+    return kind_name(int(rng.integers(0, 8)))
+
+
+def item_noise_indices(config, n: int, snr_low: float, snr_high: float):
+    """Replay the eval dataset and record which noise file each item drew."""
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    ds = LibriPartyDataset(config)
+    ds.set_attribute("test", augment=False, perturb=False,
+                     snr_low=snr_low, snr_high=snr_high)
+    ds.init_seed(0)
+    reads: list = []
+    orig = ds._read_cached
+    ds._read_cached = lambda p: (reads.append(p), orig(p))[1]
+    out = []
+    for i in range(n):
+        reads.clear()
+        _ = ds[i]
+        noise = [p for p in reads if "noise" in os.path.basename(p)]
+        if not noise:  # synthetic fallback corpus: no manifest on disk
+            raise SystemExit("no noise file read — corpus manifests absent")
+        out.append(int(noise[-1].rsplit("_", 1)[-1].split(".")[0]))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--config", default="./config_parity.yaml")
+    ap.add_argument("--snr_low", type=float, default=None,
+                    help="default: the artifact's pinned test_snr")
+    ap.add_argument("--snr_high", type=float, default=None)
+    args = ap.parse_args()
+
+    from semi_tpu.utils.config import load_config
+
+    art = json.load(open(args.artifact))
+    lo = args.snr_low if args.snr_low is not None else art["test_snr"][0]
+    hi = args.snr_high if args.snr_high is not None else art["test_snr"][1]
+    assert [lo, hi] == art["test_snr"], (
+        f"protocol mismatch: artifact pinned {art['test_snr']}, got {[lo, hi]}")
+
+    config = load_config(args.config)
+    idxs = item_noise_indices(config, len(art["items"]), lo, hi)
+
+    groups: dict = {k: [] for k in KINDS}
+    for row, idx in zip(art["items"], idxs):
+        d = row["enhanced"]
+        b = row["noisy"]
+        groups[noise_kind(idx)].append(
+            (d["sisdr"] - b["sisdr"], d["stoi"] - b["stoi"],
+             d["pesq"] - b["pesq"]))
+    print(f"{art['model']}  ({os.path.basename(args.artifact)}, "
+          f"snr {lo}..{hi})")
+    for k in KINDS:
+        a = np.array(groups[k])
+        if not len(a):
+            continue
+        print(f"  {k:8s} n={len(a):3d}  dSI-SDR {a[:, 0].mean():6.2f}  "
+              f"dSTOI {a[:, 1].mean():+.4f}  dPESQ {a[:, 2].mean():+.3f}")
+
+
+if __name__ == "__main__":
+    main()
