@@ -36,11 +36,47 @@ def kind_name(k: int) -> str:
                                     ("am" if k == 6 else "pink"))
 
 
+# MUST equal generate_corpus.stable_tag("noise") — crc32 masked to 16
+# bits. (A first version of this tool used the unmasked crc32: every
+# replayed kind was then drawn from a different rng stream, producing a
+# deterministic but WRONG grouping. The fingerprint self-check below
+# now pins the replay to the committed corpus bytes.)
+NOISE_TAG = zlib.crc32(b"noise") & 0xFFFF
+
+
 def noise_kind(idx: int, seed0: int = 3000) -> str:
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed0, idx, zlib.crc32(b"noise"), 2]))
+        np.random.SeedSequence([seed0, idx, NOISE_TAG, 2]))
     rng.uniform(8.0, 15.0)  # the length draw comes first
     return kind_name(int(rng.integers(0, 8)))
+
+
+def check_replay_against_fingerprint(idx: int, seed0: int = 3000) -> None:
+    """Regenerate test-noise file ``idx`` from the replayed seed chain
+    and require its bytes to match data/corpus_fingerprint.json — proof
+    the kind replay reads the SAME rng stream that made the corpus."""
+    import hashlib
+    import importlib.util
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "gcorp", os.path.join(os.path.dirname(__file__),
+                              "generate_corpus.py"))
+    gc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gc)
+    from semi_tpu.data.wav import write_wav
+
+    assert gc.stable_tag("noise") == NOISE_TAG, "tag drifted vs generator"
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed0, idx, NOISE_TAG, 2]))
+    length = int(rng.uniform(8.0, 15.0) * gc.FS)
+    wav = gc.synth_noise(rng, length)
+    with tempfile.NamedTemporaryFile(suffix=".wav") as t:
+        write_wav(t.name, wav, gc.FS)
+        h = hashlib.sha256(open(t.name, "rb").read()).hexdigest()
+    fp = json.load(open("data/corpus_fingerprint.json"))["files"]
+    rel = f"corpus/test/noise/test_noise_{idx:05d}.wav"
+    assert fp[rel] == h, f"replayed {rel} does not match the fingerprint"
 
 
 def item_noise_indices(config, n: int, snr_low: float, snr_high: float):
@@ -84,6 +120,7 @@ def main():
 
     config = load_config(args.config)
     idxs = item_noise_indices(config, len(art["items"]), lo, hi)
+    check_replay_against_fingerprint(idxs[0])
 
     groups: dict = {k: [] for k in KINDS}
     for row, idx in zip(art["items"], idxs):
