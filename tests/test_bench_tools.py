@@ -36,3 +36,24 @@ def test_bench_latency_smoke(tmp_path):
         assert r.get("note") is None
         assert r["latency_ms"] is not None and r["latency_ms"] > 0
         assert r["chunk_ms"] == 200.0
+
+
+def test_analyze_eval_replay_pins_fingerprint(tmp_path):
+    """tools/analyze_eval.py must refuse to report if its seed replay
+    drifts from the committed corpus (the crc32-vs-stable_tag bug
+    class). Runs only when the generated corpus is on disk."""
+    import pytest
+
+    if not os.path.exists(os.path.join(REPO, "data", "corpus", "test",
+                                       "noise", "test_noise_00000.wav")):
+        pytest.skip("generated corpus not on disk")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "analyze_eval.py"),
+         os.path.join(REPO, "runs", "eval_distill_stress.json"),
+         "--config", os.path.join(REPO, "config_parity.yaml")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # all four masker kinds reported
+    for k in ("impulse", "babble", "am", "pink"):
+        assert k in proc.stdout
