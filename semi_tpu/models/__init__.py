@@ -7,7 +7,8 @@ Mirrors the reference's ``globals()[name](**config[name])`` dispatch
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.complex_crn import ComplexTemporalCRN
-from semi_tpu.models.crn import TemporalCRN, TemporalCRNv1
+from semi_tpu.models.crn import (TemporalCRN, TemporalCRNDirectional,
+                                 TemporalCRNv1)
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
 
@@ -17,6 +18,9 @@ MODEL_REGISTRY: dict[str, type] = {
     # CRN_ELU.py); train.py imports the ELU one. The v1 family member
     # gets a distinct section name here.
     "TemporalCRN_v1": TemporalCRNv1,
+    # beyond-reference: directional input features (cos/sin IPD + ILD)
+    # targeting the measured babble target-ambiguity failure mode
+    "TemporalCRN_dir": TemporalCRNDirectional,
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,

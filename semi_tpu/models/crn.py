@@ -22,7 +22,7 @@ from semi_tpu.layers.rnn import SequenceModel
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 
-__all__ = ["TemporalCRN", "TemporalCRNv1"]
+__all__ = ["TemporalCRN", "TemporalCRNv1", "TemporalCRNDirectional"]
 
 EPS = 1e-8  # reference CRN.py:11
 
@@ -43,7 +43,7 @@ class TemporalCRN(StreamingModel):
         # the conv/GRU/deconv network in ``compute_dtype`` (bf16 doubles
         # MXU throughput on v5e; matmuls still accumulate in f32)
         self.cdtype = jnp.dtype(compute_dtype)
-        feat_ch = 2 * num_inputs - 1  # M magnitudes + (M-1) phase diffs
+        feat_ch = self.feature_channels(num_inputs)
 
         # 3 frequency-dilated residual pre-convs (CRN_ELU.py:335-340)
         self.preconvs = [
@@ -100,6 +100,11 @@ class TemporalCRN(StreamingModel):
                       for m, f in zip(self.convs, self.enc_freqs)],
             "gru": self.gru.init_state(batch, dtype),
         }
+
+    def feature_channels(self, num_inputs: int) -> int:
+        """Input-feature channel count; overridden by variants whose
+        :meth:`features` emits a different map stack."""
+        return 2 * num_inputs - 1  # M magnitudes + (M-1) phase diffs
 
     def features(self, x):
         """``[B, M, F, T, 2]`` -> ``[B, 2M-1, F, T]`` mag + IPD features."""
@@ -425,3 +430,53 @@ class TemporalCRNv1(TemporalCRN):
         ipd = angle[:, :1] - angle[:, 1:]
         mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2 + 1e-10)
         return jnp.concatenate([mag, ipd], axis=1)
+
+
+class TemporalCRNDirectional(TemporalCRN):
+    """Flagship CRN with explicit directional input features.
+
+    BEYOND-REFERENCE variant (not in /root/reference), motivated by a
+    measured failure mode: on same-synthesizer talker babble every
+    reference architecture scores ~+1 dB dSI-SDR while the oracle cIRM
+    gets +39.7 dB — the T-F information exists but "which voice is the
+    target" is ambiguous (docs/BENCHMARKS.md "Failure-mode analysis").
+    The corpus spatializes the masker through its own room impulse
+    response at a position distinct from the target, so direction is
+    the one causal, streaming-compatible cue that separates two voices
+    from the same synthesizer.
+
+    The reference's features (CRN_ELU.py:369-373) hand the encoder raw
+    wrapped phase differences: ``angle0 - angle_i`` of atan2 angles,
+    which jump by 2*pi across the wrap and are not linearly usable by
+    the first conv. This variant replaces the raw IPD channels with
+
+    - ``cos(IPD)`` and ``sin(IPD)`` per mic pair — continuous across
+      the wrap, constant for a fixed direction-of-arrival per
+      frequency, the standard multichannel-enhancement encoding;
+    - inter-mic log-level differences (ILD) per pair — the second
+      spatial cue, free given the magnitudes.
+
+    Feature stack: M magnitudes + 2(M-1) cos/sin IPD + (M-1) ILD =
+    ``4M-3`` channels (9 at M=3 vs the reference's 5). Everything
+    downstream — architecture, runtimes (scan / stacked / batched
+    multi-stream), distillation taps, losses — is inherited unchanged,
+    so the experiment isolates the input representation.
+    """
+
+    def feature_channels(self, num_inputs: int) -> int:
+        return 4 * num_inputs - 3
+
+    def features(self, x):
+        """``[B, M, F, T, 2]`` -> ``[B, 4M-3, F, T]`` directional maps."""
+        re, im = x[..., 0], x[..., 1]
+        mag = jnp.sqrt(re ** 2 + im ** 2 + 1e-10)
+        # cos/sin of the phase difference via the complex product
+        # x0 * conj(xi), normalized — avoids computing angles at all
+        # (no arctan2, no wrap): x0*conj(xi) = |x0||xi| e^{j(a0-ai)}.
+        cr = re[:, :1] * re[:, 1:] + im[:, :1] * im[:, 1:]
+        ci = im[:, :1] * re[:, 1:] - re[:, :1] * im[:, 1:]
+        denom = mag[:, :1] * mag[:, 1:]
+        cos_ipd = cr / denom
+        sin_ipd = ci / denom
+        ild = jnp.log(mag[:, 1:]) - jnp.log(mag[:, :1])
+        return jnp.concatenate([mag, cos_ipd, sin_ipd, ild], axis=1)

@@ -281,3 +281,114 @@ def test_int8_resident_flagship_inference(tiny):
     err = float(jnp.linalg.norm(y_q - y_f32) /
                 (jnp.linalg.norm(y_f32) + 1e-9))
     assert err < 0.05, f"int8 path diverged: rel err {err:.4f}"
+
+
+# -- directional variant (beyond-reference, round 3) ---------------------
+
+def test_crn_dir_feature_maps():
+    """TemporalCRNDirectional features: cos/sin of the true inter-mic
+    phase difference (continuous across the phase wrap, unlike the
+    baseline's raw angle difference) plus log-level differences."""
+    from semi_tpu.models.crn import TemporalCRNDirectional
+
+    m = TemporalCRNDirectional(num_channels=[4, 8], num_freqs=201,
+                               segment_length=3200, hidden=16,
+                               num_layers=1, num_inputs=3)
+    assert m.feature_channels(3) == 9
+    # features() is shape-agnostic in F/T; use a tiny map for the oracle
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 7, 5, 2))
+    f = m.features(x)
+    assert f.shape == (2, 9, 7, 5)
+
+    ang = np.arctan2(np.asarray(x[..., 1]), np.asarray(x[..., 0]))
+    ipd = ang[:, :1] - ang[:, 1:]
+    mag = np.sqrt(np.asarray(x[..., 0]) ** 2 + np.asarray(x[..., 1]) ** 2
+                  + 1e-10)
+    np.testing.assert_allclose(np.asarray(f[:, 0:3]), mag, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f[:, 3:5]), np.cos(ipd), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f[:, 5:7]), np.sin(ipd), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f[:, 7:9]),
+                               np.log(mag[:, 1:]) - np.log(mag[:, :1]),
+                               atol=1e-4)
+
+    # wrap-continuity: a pure delay near the +/-pi wrap produces smooth
+    # cos/sin maps where the raw IPD feature jumps by ~2*pi
+    phases = jnp.linspace(3.0, 3.4, 5)  # crosses pi between samples
+    ref = jnp.stack([jnp.cos(phases * 0), jnp.sin(phases * 0)], -1)
+    lag = jnp.stack([jnp.cos(phases), jnp.sin(phases)], -1)
+    x2 = jnp.stack([ref, lag, lag], 0)[None, :, None, :, :]  # [1,3,1,5,2]
+    f2 = m.features(x2)
+    cosd = np.diff(np.asarray(f2[0, 3, 0]))
+    sind = np.diff(np.asarray(f2[0, 5, 0]))
+    assert np.all(np.abs(cosd) < 0.2) and np.all(np.abs(sind) < 0.2)
+    raw = np.diff(np.unwrap(np.asarray(phases)) * 0 - np.asarray(phases))
+    assert np.any(np.abs(np.diff(np.asarray(
+        np.arctan2(x2[0, 1, ..., 1], x2[0, 1, ..., 0])[0]))) > 2.0), \
+        "fixture should cross the wrap"
+
+
+def test_crn_dir_scan_stacked_equivalence():
+    """Directional variant: the stacked-parallel runtime must equal the
+    chunk-serial scan, including continuation state."""
+    from semi_tpu.models.crn import TemporalCRNDirectional
+
+    m = TemporalCRNDirectional(num_channels=[4, 8], num_freqs=201,
+                               hidden=16, segment_length=3200,
+                               num_layers=1, num_inputs=3)
+    params = m.init(jax.random.PRNGKey(0))
+    assert params["convs"][0]["conv"]["w"].shape[1] == 9  # 4M-3 inputs
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9600)) * 0.1
+    y_par, st_par = m.realtime_process(params, None, x, flag=False)
+    y_scan, st_scan = m.realtime_process_scan(params, None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y_par), np.asarray(y_scan),
+                               atol=3e-5)
+
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4800)) * 0.1
+    y2_par, _ = m.realtime_process(params, st_par, x2, flag=True)
+    y2_scan, _ = m.realtime_process_scan(params, st_scan, x2, flag=True)
+    np.testing.assert_allclose(np.asarray(y2_par), np.asarray(y2_scan),
+                               atol=3e-5)
+
+
+def test_crn_dir_registry_and_config():
+    """TemporalCRN_dir is registered; both config.yaml and
+    config_dir.yaml sections construct it (keys-are-kwargs)."""
+    from semi_tpu.models import build_model
+    from semi_tpu.models.crn import TemporalCRNDirectional
+    from semi_tpu.utils.config import load_config
+
+    for path in ("config.yaml", "config_dir.yaml"):
+        cfg = load_config(path)
+        m = build_model("TemporalCRN_dir", cfg["TemporalCRN_dir"])
+        assert isinstance(m, TemporalCRNDirectional)
+        assert len(m.preconvs) == 3  # flagship geometry kept
+
+
+def test_crn_dir_trains_and_distills():
+    """The directional variant runs the full loss/grad path and exposes
+    the distillation taps (it inherits the instrumented runtimes)."""
+    from semi_tpu.models.crn import TemporalCRNDirectional
+
+    m = TemporalCRNDirectional(num_channels=[4, 8], num_freqs=201,
+                               hidden=16, segment_length=3200,
+                               num_layers=1, num_inputs=3)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+    src = jax.random.normal(jax.random.PRNGKey(2), (1, 6400)) * 0.1
+    length = jnp.array([6400])
+
+    def loss_fn(p):
+        pred, _ = m.realtime_process(p, None, x, flag=False)
+        loss, _, _ = m.compute_loss(src, pred, length)
+        return loss
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(g))
+
+    wav, feats, _ = m.realtime_process_with_features(params, None, x,
+                                                     flag=False)
+    # taps = last encoder + GRU + all-but-last deconvs (5 at the 4-level
+    # reference config; 3 at this 2-level tiny config)
+    assert len(feats) == 3 and wav.shape == (1, 6400)
