@@ -14,7 +14,7 @@
 set -x
 cd "$(dirname "$0")/.."
 
-while ! grep -q LOWSNR_SPEC_DONE runs/lowsnr_chain.log 2>/dev/null; do
+while ! grep -q STUDENT_EXT_DONE runs/student_ext_chain.log 2>/dev/null; do
   sleep 60
 done
 
