@@ -71,3 +71,43 @@ def test_eval_snr_override_changes_operating_point(tmp_path):
     assert lo["b_sisdr"] < hi["b_sisdr"] - 10.0
     art = json.loads((tmp_path / "lo.json").read_text())
     assert art["test_snr"] == [-5.0, -5.0]
+
+
+def test_compare_evals_paired_guards_and_stats(tmp_path, capsys):
+    """tools/compare_evals.py: paired per-item stats with hard pairing
+    guards — refuses protocol or mixture drift, reports the paired mean
+    (NOT the difference of means, which between-item variance washes
+    out)."""
+    import pytest
+
+    from tools.compare_evals import main as compare
+
+    def art(path, test_snr, enh_shift, noisy_jitter=0.0):
+        rows = []
+        for i in range(12):
+            noisy = {k: 1.0 + 0.5 * i + noisy_jitter for k in METRIC_KEYS}
+            enh = {k: noisy[k] + 0.2 + (enh_shift if k == "sisdr" else 0.0)
+                   for k in METRIC_KEYS}
+            rows.append({"item": i, "noisy": noisy, "enhanced": enh})
+        (tmp_path / path).write_text(json.dumps(
+            {"model": "T", "test_snr": test_snr, "items": rows}))
+        return str(tmp_path / path)
+
+    a = art("a.json", [0.0, 25.0], enh_shift=0.0)
+    b = art("b.json", [0.0, 25.0], enh_shift=0.1)
+    compare(a, b)
+    out = capsys.readouterr().out
+    # constant +0.1 sisdr paired delta, zero variance, B wins; the other
+    # axes are exact ties
+    assert "sisdr  mean +0.1000" in out and "B wins" in out
+    assert "stoi   mean +0.0000" in out
+
+    # protocol drift refused
+    c = art("c.json", [-5.0, 5.0], enh_shift=0.0)
+    with pytest.raises(SystemExit, match="protocol mismatch"):
+        compare(a, c)
+
+    # same protocol label but different mixtures: noisy columns differ
+    d = art("d.json", [0.0, 25.0], enh_shift=0.0, noisy_jitter=0.01)
+    with pytest.raises(SystemExit, match="noisy sisdr differs"):
+        compare(a, d)
