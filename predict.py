@@ -33,7 +33,8 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
                        profile_dir: str | None = None,
                        dump_dir: str | None = None,
                        out_json: str | None = None,
-                       snr_low: float = 0.0, snr_high: float = 25.0):
+                       snr_low: float = 0.0, snr_high: float = 25.0,
+                       enroll_len: int = 0):
     """Shared eval loop: stream the test split through ``run(params, mix)``.
 
     Reports SI-SDR / STOI / PESQ before/after and RTF (compile excluded),
@@ -66,6 +67,17 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
         mix = jnp.asarray(data["mix"])          # [1, M, L]
         src = np.asarray(data["source"][0, 0, 0])  # mic0 reverberant target
         noisy = np.asarray(data["mix"][0, 0])
+        if enroll_len:
+            # speaker-conditioned families (wants_enroll): append the
+            # enrollment channel — last `enroll_len` ACTIVE samples of
+            # the reverberant target image, matching the fused trainer's
+            # convention (train/utterance.py _mixed_batch)
+            nz = np.nonzero(np.abs(src) > 1e-7)[0]
+            end = int(nz[-1]) + 1 if len(nz) else len(src)
+            el = min(enroll_len, end)
+            chan = np.zeros((1, 1, mix.shape[-1]), np.float32)
+            chan[0, 0, :el] = src[end - el:end]
+            mix = jnp.concatenate([mix, jnp.asarray(chan)], axis=1)
 
         # first occurrence of a length compiles; exclude it from RTF
         warm = mix.shape[-1] in seen_lengths
@@ -205,7 +217,10 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
     return evaluate_streaming(run, params, config, tag, ckpt,
                               num_items=num_items, profile_dir=profile_dir,
                               dump_dir=dump_dir, out_json=out_json,
-                              snr_low=snr_low, snr_high=snr_high)
+                              snr_low=snr_low, snr_high=snr_high,
+                              enroll_len=(model.enroll_len if
+                                          getattr(model, "wants_enroll",
+                                                  False) else 0))
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.complex_crn import ComplexTemporalCRN
 from semi_tpu.models.crn import (TemporalCRN, TemporalCRNDirectional,
-                                 TemporalCRNv1)
+                                 TemporalCRNSpk, TemporalCRNv1)
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
 
@@ -21,6 +21,11 @@ MODEL_REGISTRY: dict[str, type] = {
     # beyond-reference: directional input features (cos/sin IPD + ILD)
     # targeting the measured babble target-ambiguity failure mode
     "TemporalCRN_dir": TemporalCRNDirectional,
+    # beyond-reference: target-speaker conditioning (enrollment channel
+    # + time-pooled voice embedding + bottleneck FiLM) — the identity
+    # route to the babble gap after the directional ceiling ruled out
+    # spatial cues (docs/BENCHMARKS.md "Directional-oracle ceiling")
+    "TemporalCRN_spk": TemporalCRNSpk,
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,

@@ -22,7 +22,8 @@ from semi_tpu.layers.rnn import SequenceModel
 from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 
-__all__ = ["TemporalCRN", "TemporalCRNv1", "TemporalCRNDirectional"]
+__all__ = ["TemporalCRN", "TemporalCRNv1", "TemporalCRNDirectional",
+           "TemporalCRNSpk"]
 
 EPS = 1e-8  # reference CRN.py:11
 
@@ -121,6 +122,12 @@ class TemporalCRN(StreamingModel):
             return tree
         return jax.tree.map(lambda p: p.astype(self.cdtype), tree)
 
+    def bottleneck_pre(self, params, state, h):
+        """Hook between the flattened encoder output and the GRU; ``h``
+        is ``[B, C*F, T]`` (scan path) or ``[N, B, C*F, T]`` (stacked).
+        Identity here; conditioned variants (TemporalCRNSpk) override."""
+        return h
+
     def forward(self, params, state, x):
         # x: [B, M, F, T, 2]
         noisy = x[:, 0]  # [B, F, T, 2]
@@ -142,6 +149,7 @@ class TemporalCRN(StreamingModel):
 
         b, c, f, t = h.shape
         h = h.reshape(b, c * f, t)
+        h = self.bottleneck_pre(params, state, h)
         h, gru_state = self.gru.apply(params["gru"], state["gru"], h)
         h = h.reshape(b, c, f, t)
 
@@ -191,6 +199,7 @@ class TemporalCRN(StreamingModel):
 
         _, _, c, fb, tt = h.shape
         h = h.reshape(n, b, c * fb, tt)
+        h = self.bottleneck_pre(params, state, h)
         h, gru_state = self.gru.apply_stacked(params["gru"], state["gru"], h,
                                               use_pallas=self.use_pallas_gru)
         h = h.reshape(n * b, c, fb, tt)
@@ -280,6 +289,7 @@ class TemporalCRN(StreamingModel):
 
         b, c, f, t = h.shape
         h = h.reshape(b, c * f, t)
+        h = self.bottleneck_pre(params, state, h)
         h, gru_state, gru_ft = self.gru.apply(params["gru"], state["gru"], h,
                                               return_feature=True)
         h = h.reshape(b, c, f, t)
@@ -333,6 +343,7 @@ class TemporalCRN(StreamingModel):
 
         _, _, c, fb, tt = h.shape
         h = h.reshape(n, b, c * fb, tt)
+        h = self.bottleneck_pre(params, state, h)
         h, gru_state, gru_ft = self.gru.apply_stacked(
             params["gru"], state["gru"], h, return_feature=True)
         h = h.reshape(n * b, c, fb, tt)
@@ -480,3 +491,192 @@ class TemporalCRNDirectional(TemporalCRN):
         sin_ipd = ci / denom
         ild = jnp.log(mag[:, 1:]) - jnp.log(mag[:, :1])
         return jnp.concatenate([mag, cos_ipd, sin_ipd, ild], axis=1)
+
+
+class TemporalCRNSpk(TemporalCRN):
+    """Flagship CRN conditioned on the target speaker's voice statistics.
+
+    BEYOND-REFERENCE variant (not in /root/reference), built from two
+    measured ceilings (docs/BENCHMARKS.md): on same-synthesizer talker
+    babble every reference architecture scores ~+1 dB dSI-SDR while the
+    oracle cIRM gets +39.7 dB ("Failure-mode analysis"), and masks
+    computed from spatial cues alone top out at +0.24 dB — direction
+    cannot identify the target at this corpus geometry
+    ("Directional-oracle ceiling"). What remains is target IDENTITY:
+    this variant conditions the enhancer on an enrollment sample of the
+    target voice.
+
+    Mechanics:
+    - the enrollment waveform rides as ONE EXTRA input channel
+      (``mixture[B, M+1, L]``, channel M = enrollment, first
+      ``enroll_len`` samples) so the ``realtime_process`` contract,
+      every runtime, and the fused trainer stay untouched — the model
+      strips it before chunking;
+    - the enrollment encoder is strictly TIME-POOLED: log-magnitude
+      spectrum -> mean+std over frames -> 2-layer MLP -> L2-normalized
+      embedding. Pooling makes content alignment unusable by
+      construction (the embedding is invariant to frame order), so
+      self-enrollment — the corpus has one utterance per synthetic
+      voice, so enrollment is drawn from the target utterance itself —
+      can only transfer time-invariant voice statistics, exactly what a
+      separate-utterance enrollment would carry;
+    - conditioning is FiLM at the bottleneck (scale/shift of the
+      flattened encoder features feeding the GRU), zero-initialized so
+      training starts exactly at the unconditioned flagship.
+
+    Trained/evaluated through the fused utterance engine and predict.py
+    (both append the enrollment channel when the model sets
+    ``wants_enroll``); the piece-mode/batched-stream engines do not
+    carry enrollment and are not supported for this family.
+    """
+
+    wants_enroll = True
+
+    def __init__(self, *args, spk_dim=128, enroll_len=32000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.spk_dim = spk_dim
+        self.enroll_len = enroll_len
+        self._gru_in = self.bottleneck_freqs * self.convs[-1].n_outputs
+
+    def init(self, key):
+        base = super().init(key)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 0x5b))
+        feat = 2 * self.num_freqs  # mean+std of the log-mag spectrum
+        hid = 256
+        base["spk"] = {
+            "w1": jax.random.normal(k1, (feat, hid)) * (2.0 / feat) ** 0.5,
+            "b1": jnp.zeros((hid,)),
+            "w2": jax.random.normal(k2, (hid, self.spk_dim)) * (2.0 / hid) ** 0.5,
+            "b2": jnp.zeros((self.spk_dim,)),
+            # zero-init FiLM: gamma=1, beta=0 -> exactly the flagship
+            "film_g": jnp.zeros((self.spk_dim, self._gru_in)),
+            "film_b": jnp.zeros((self.spk_dim, self._gru_in)),
+        }
+        return base
+
+    def init_state(self, batch: int, dtype=None):
+        st = super().init_state(batch, dtype)
+        st["spk"] = jnp.zeros((batch, self.spk_dim), jnp.float32)
+        return st
+
+    def encode_enroll(self, params, wav):
+        """``[B, enroll_len]`` waveform -> L2-normalized ``[B, spk_dim]``.
+
+        f32 throughout (like the STFT/mask paths); level-invariant via
+        RMS normalization; strictly time-pooled (see class docstring).
+        """
+        from semi_tpu.ops.stft import stft_matmul
+
+        p = params["spk"]
+        wav = wav.astype(jnp.float32)
+        rms = jnp.sqrt(jnp.mean(wav ** 2, axis=-1, keepdims=True) + 1e-8)
+        spec = stft_matmul(wav / rms, n_fft=self.stft_cfg.n_fft,
+                           hop=self.stft_cfg.hop)        # [B, T, F, 2]
+        logmag = jnp.log1p(jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2
+                                    + 1e-10))            # [B, T, F]
+        feat = jnp.concatenate([logmag.mean(axis=1), logmag.std(axis=1)],
+                               axis=-1)                  # [B, 2F]
+        h = jax.nn.elu(feat @ p["w1"].astype(jnp.float32) + p["b1"])
+        e = h @ p["w2"].astype(jnp.float32) + p["b2"]
+        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+
+    def bottleneck_pre(self, params, state, h):
+        # h: [B, D, T] (scan) or [N, B, D, T] (stacked); params are
+        # already cast to cdtype by forward's _cast — compute FiLM in
+        # f32 from the f32 embedding, apply in h's dtype
+        p = params["spk"]
+        e = state["spk"]
+        gamma = 1.0 + e @ p["film_g"].astype(jnp.float32)   # [B, D]
+        beta = e @ p["film_b"].astype(jnp.float32)
+        if h.ndim == 4:
+            gamma, beta = gamma[None, :, :, None], beta[None, :, :, None]
+        else:
+            gamma, beta = gamma[:, :, None], beta[:, :, None]
+        return h * gamma.astype(h.dtype) + beta.astype(h.dtype)
+
+    def _split(self, mixture):
+        assert mixture.shape[1] == self.num_inputs + 1, (
+            f"TemporalCRNSpk expects {self.num_inputs} mics + 1 enrollment "
+            f"channel, got {mixture.shape[1]} channels — this family runs "
+            "through the fused utterance engine / predict.py, which append "
+            "the enrollment channel (wants_enroll)")
+        return (mixture[:, :self.num_inputs],
+                mixture[:, self.num_inputs, :self.enroll_len])
+
+    # state carries the embedding through every runtime's scan
+    def forward(self, params, state, x):
+        pred, st = super().forward(params, state, x)
+        st["spk"] = state["spk"]
+        return pred, st
+
+    def forward_stacked(self, params, state, x):
+        pred, st = super().forward_stacked(params, state, x)
+        st["spk"] = state["spk"]
+        return pred, st
+
+    def forward_with_features(self, params, state, x):
+        pred, feats, st = super().forward_with_features(params, state, x)
+        st["spk"] = state["spk"]
+        return pred, feats, st
+
+    def forward_stacked_with_features(self, params, state, x):
+        pred, feats, st = super().forward_stacked_with_features(
+            params, state, x)
+        st["spk"] = state["spk"]
+        return pred, feats, st
+
+    def realtime_process(self, params, state, mixture, flag: bool = False):
+        mics, e_wav = self._split(mixture)
+        b = mics.shape[0]
+        if not flag:
+            state = self.init_state(b)
+            state["spk"] = self.encode_enroll(params, e_wav)
+            pad = jnp.zeros((b, self.num_inputs, self.segment_length // 2),
+                            mics.dtype)
+            mics = jnp.concatenate([pad, mics], axis=-1)
+        x, gap = self.preprocessing(mics)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def realtime_process_scan(self, params, state, mixture,
+                              flag: bool = False):
+        """Chunk-serial runtime (equivalence testing vs the stacked path)."""
+        mics, e_wav = self._split(mixture)
+        b = mics.shape[0]
+        if not flag:
+            state = self.init_state(b, self.cdtype)
+            state["spk"] = self.encode_enroll(params, e_wav)
+            pad = jnp.zeros((b, self.num_inputs, self.segment_length // 2),
+                            mics.dtype)
+            mics = jnp.concatenate([pad, mics], axis=-1)
+        x, gap = self.preprocessing(mics)
+
+        def step(st, xc):
+            pred, st2 = self.forward(params, st, xc)
+            return st2, pred
+
+        if self.remat:
+            step = jax.checkpoint(step)
+        state, preds = jax.lax.scan(step, state, x)
+        wav = self.postprocessing(preds, gap)
+        if not flag:
+            wav = wav[..., self.segment_length // 2:]
+        return wav, state
+
+    def realtime_process_batched(self, params, state, mixture, reset_mask):
+        from semi_tpu.models.base import select_reset
+
+        mics, e_wav = self._split(mixture)
+        b = mics.shape[0]
+        state = select_reset(state, self.init_state(b), reset_mask)
+        e_new = self.encode_enroll(params, e_wav)
+        # streams that reset adopt the fresh enrollment; continuing
+        # streams keep the embedding already in their state
+        state["spk"] = jnp.where(reset_mask[:, None], e_new, state["spk"])
+        x, gap = self.preprocessing(mics)
+        preds, state = self.forward_stacked(params, state, x)
+        wav = self.postprocessing(preds, gap)
+        return wav, state

@@ -109,6 +109,22 @@ def _mixed_batch(model, mixer, lead, snr, batch_k):
     # prediction and target stay aligned
     mix = jnp.pad(mix, ((0, 0), (0, 0), (lead, 0)))
     target = jnp.pad(source[:, 0, 0], ((0, 0), (lead, 0)))
+    if getattr(model, "wants_enroll", False):
+        # speaker-conditioned families (TemporalCRNSpk): append the
+        # enrollment as one extra channel — the last enroll_len samples
+        # of the reverberant target image at mic 0 (self-enrollment;
+        # the model's time-pooled encoder makes content alignment
+        # unusable, see models/crn.py TemporalCRNSpk docstring)
+        el = min(model.enroll_len, source.shape[-1])
+
+        def enroll_slice(s, ul):
+            start = jnp.maximum(ul - el, 0)
+            return jax.lax.dynamic_slice_in_dim(s, start, el)
+
+        enr = jax.vmap(enroll_slice)(source[:, 0, 0], utt_len)  # [B, el]
+        chan = jnp.zeros((mix.shape[0], 1, mix.shape[-1]), mix.dtype)
+        chan = chan.at[:, 0, :el].set(enr)
+        mix = jnp.concatenate([mix, chan], axis=1)
     return mix, target, utt_len + lead
 
 

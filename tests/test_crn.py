@@ -392,3 +392,92 @@ def test_crn_dir_trains_and_distills():
     # taps = last encoder + GRU + all-but-last deconvs (5 at the 4-level
     # reference config; 3 at this 2-level tiny config)
     assert len(feats) == 3 and wav.shape == (1, 6400)
+
+
+# -- speaker-conditioned variant (beyond-reference, round 3) --------------
+
+SPK_KW = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+              segment_length=3200, num_layers=1, num_inputs=3,
+              kernel_size=3)
+
+
+def _spk_pair():
+    from semi_tpu.models.crn import TemporalCRN, TemporalCRNSpk
+
+    base = TemporalCRN(**SPK_KW)
+    spk = TemporalCRNSpk(**SPK_KW, spk_dim=16, enroll_len=8000)
+    return base, spk
+
+
+def _spk_mix(b=2, l=9600, el=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    mix = jnp.asarray(rng.standard_normal((b, 3, l)), jnp.float32) * 0.1
+    enr = jnp.zeros((b, 1, l), jnp.float32).at[:, 0, :el].set(
+        jnp.asarray(rng.standard_normal((b, el)), jnp.float32) * 0.1)
+    return jnp.concatenate([mix, enr], axis=1)
+
+
+def test_crn_spk_zero_film_equals_flagship():
+    """FiLM is zero-initialized: at init the conditioned model is EXACTLY
+    the flagship on the mic channels — training starts at the controlled
+    baseline, and the conditioning pathway must earn its keep."""
+    base, spk = _spk_pair()
+    pb = base.init(jax.random.PRNGKey(0))
+    ps = spk.init(jax.random.PRNGKey(0))
+    ps = {**pb, "spk": ps["spk"]}  # share every base weight
+    x = _spk_mix()
+    yb, _ = base.realtime_process(pb, None, x[:, :3], flag=False)
+    ys, _ = spk.realtime_process(ps, None, x, flag=False)
+    assert np.array_equal(np.asarray(yb), np.asarray(ys))
+
+
+def test_crn_spk_scan_stacked_equivalence_and_conditioning():
+    """Stacked runtime == chunk-serial scan for the conditioned model,
+    and the output actually responds to the enrollment channel once the
+    FiLM weights are nonzero."""
+    _, spk = _spk_pair()
+    ps = spk.init(jax.random.PRNGKey(0))
+    sp = dict(ps["spk"])
+    sp["film_g"] = jax.random.normal(jax.random.PRNGKey(1),
+                                     sp["film_g"].shape) * 0.1
+    sp["film_b"] = jax.random.normal(jax.random.PRNGKey(2),
+                                     sp["film_b"].shape) * 0.1
+    ps = {**ps, "spk": sp}
+    x = _spk_mix()
+    y_stacked, st_s = spk.realtime_process(ps, None, x, flag=False)
+    y_scan, st_c = spk.realtime_process_scan(ps, None, x, flag=False)
+    np.testing.assert_allclose(np.asarray(y_stacked), np.asarray(y_scan),
+                               atol=2e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), st_s, st_c)
+
+    x2 = x.at[:, 3, :8000].set(_spk_mix(seed=7)[:, 3, :8000] * 3.0)
+    y2, _ = spk.realtime_process(ps, None, x2, flag=False)
+    assert float(jnp.abs(y_stacked - y2).max()) > 1e-6
+
+
+def test_crn_spk_embedding_is_pooled_and_level_invariant():
+    """The enrollment embedding is L2-normalized and invariant to the
+    enrollment's level (RMS norm) — voice statistics, not energy."""
+    _, spk = _spk_pair()
+    ps = spk.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32) * 0.1
+    e1 = spk.encode_enroll(ps, wav)
+    e2 = spk.encode_enroll(ps, wav * 4.7)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(e1, axis=-1)),
+                               1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-4)
+
+
+def test_crn_spk_registry_and_config():
+    """TemporalCRN_spk is registered; both config.yaml and
+    config_spk.yaml sections construct it (keys-are-kwargs)."""
+    from semi_tpu.models import build_model
+    from semi_tpu.utils.config import load_config
+
+    for path in ("config.yaml", "config_spk.yaml"):
+        cfg = load_config(path)
+        m = build_model("TemporalCRN_spk", cfg["TemporalCRN_spk"])
+        assert m.wants_enroll and m.enroll_len == 32000
+        assert m.feature_channels(3) == 5  # mic features unchanged

@@ -277,3 +277,55 @@ def test_dev_criterion_stoi_oracle(tmp_path):
     # TB event file exists (dev_stoi scalar written through ScalarWriter)
     logd = tmp_path / "l" / "denoise" / "um"
     assert any(os.scandir(str(logd)))
+
+
+def test_utterance_spk_enroll_channel():
+    """Speaker-conditioned family through the fused engine: _mixed_batch
+    appends the enrollment channel (last enroll_len samples of the mic-0
+    target image), the train step runs, and gradients reach the
+    enrollment/FiLM branch."""
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.models.crn import TemporalCRNSpk
+    from semi_tpu.train.step import init_train_state
+    from semi_tpu.train.utterance import (
+        UtteranceBatchSampler, _mixed_batch, _mixer_fn,
+        make_utterance_train_step)
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(1)
+    m = TemporalCRNSpk(**cfg["TemporalCRN"], spk_dim=16, enroll_len=8000)
+    params = m.init(jax.random.PRNGKey(0))
+
+    sampler = UtteranceBatchSampler(ds, batch=2, k_batches=1)
+    try:
+        inputs = sampler.next_batch()
+    finally:
+        sampler.close()
+
+    # channel contract: [B, M+1, L], enrollment = last el of the mic-0
+    # target image, left-aligned in the extra channel
+    lead = m.segment_length // 2
+    batch_k = (jnp.asarray(inputs["clean"][0], jnp.float32),
+               jnp.asarray(inputs["noise"][0], jnp.float32),
+               jnp.asarray(inputs["key"][0]),
+               jnp.asarray(inputs["utt_len"][0]))
+    mix, target, length = _mixed_batch(
+        m, _mixer_fn(ds), lead, (float(ds.snr_low), float(ds.snr_high)),
+        (batch_k[0] * 32768.0, batch_k[1] * 32768.0, batch_k[2], batch_k[3]))
+    assert mix.shape[1] == 4  # 3 mics + enrollment
+    el = min(m.enroll_len, cfg["config"]["mix_length"])
+    assert float(jnp.abs(mix[:, 3, el:]).max()) == 0.0  # zero-padded tail
+    assert float(jnp.abs(mix[:, 3, :el]).max()) > 0.0   # enrollment present
+
+    # full fused train step: finite loss, gradients flow into the spk
+    # branch (step applies the update; compare params before/after)
+    step = jax.jit(make_utterance_train_step(m, ds, k_batches=1,
+                                             accum_every=1))
+    ts = init_train_state(params, 3e-4)
+    ts2, ms = step(ts, inputs)
+    assert np.isfinite(float(ms["loss"][0]))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ts.params["spk"], ts2.params["spk"])
+    assert max(jax.tree.leaves(moved)) > 0.0

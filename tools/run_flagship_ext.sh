@@ -6,11 +6,11 @@
 # (student 48->? in flight, FullSubNet 12->20, GTSA 8->12, GB 6->8)
 # kept improving; this chases the flagship's absolute-PESQ headroom.
 # Ends with a bench.py sanity so the round's last TPU act is a bench.
-# Waits for the directional experiment to release the TPU tunnel.
+# Waits for the speaker-conditioning experiment to release the TPU tunnel.
 set -x
 cd "$(dirname "$0")/.."
 
-while ! grep -q DIR_EXP_DONE runs/dir_exp_chain.log 2>/dev/null; do
+while ! grep -q SPK_EXP_DONE runs/spk_chain.log 2>/dev/null; do
   sleep 60
 done
 
