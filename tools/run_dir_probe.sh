@@ -15,11 +15,14 @@
 set -x
 cd "$(dirname "$0")/.."
 
-while ! grep -q STUDENT_EXT_DONE runs/student_ext_chain.log 2>/dev/null; do
+while ! grep -q FLAGSHIP_EXT_DONE runs/flagship_ext_chain.log 2>/dev/null; do
   sleep 60
 done
 
 sup() { python tools/supervise_resume.py --retries 3 -- "$@"; }
+
+PALLAS_AXON_POOL_IPS= python tools/ensure_corpus.py \
+  >> runs/ensure_corpus.log 2>&1 || { echo "CORPUS check failed"; exit 1; }
 
 sup python train.py TemporalCRN_dir ./config_dir_probe.yaml \
   --user_defined_name dir_r3 \

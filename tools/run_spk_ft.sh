@@ -12,6 +12,8 @@ cd "$(dirname "$0")/.."
 
 sup() { python tools/supervise_resume.py --retries 3 -- "$@"; }
 
+PALLAS_AXON_POOL_IPS= python tools/ensure_corpus.py \
+  > runs/ensure_corpus.log 2>&1 || { echo "CORPUS check failed"; exit 1; }
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/warmstart_spk.py \
   > runs/warmstart_spk.log 2>&1 || { echo "WARMSTART failed"; exit 1; }
 
