@@ -271,3 +271,48 @@ def test_corpus_generator_process_stable_seeds():
     assert outs[0][0] != outs[1][0]
     # ...but the generated audio is identical
     assert outs[0][1:] == outs[1][1:]
+
+
+def test_ensure_corpus_guard(tmp_path):
+    """tools/ensure_corpus resolves fingerprint paths relative to
+    csv_dir and distinguishes intact / missing / corrupted corpora
+    (the workspace-recycle failure mode, ROADMAP round-3). The
+    path-join regression matters: a wrong base once made an intact
+    corpus look 100% missing and triggered a pointless regeneration
+    beside a live trainer."""
+    import hashlib
+    import json
+    import subprocess
+    import sys
+
+    csv_dir = tmp_path / "data"
+    wav = csv_dir / "corpus" / "train" / "clean" / "x.wav"
+    wav.parent.mkdir(parents=True)
+    wav.write_bytes(b"RIFFfake")
+    sha = hashlib.sha256(b"RIFFfake").hexdigest()
+    fp = {"version": 2, "files": {"corpus/train/clean/x.wav": sha},
+          "corpus_sha256": "irrelevant"}
+    (csv_dir / "corpus_fingerprint.json").write_text(json.dumps(fp))
+
+    def run(*extra):
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        return subprocess.run(
+            [sys.executable, "tools/ensure_corpus.py",
+             "--csv_dir", str(csv_dir), *extra],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+
+    r = run()
+    assert r.returncode == 0 and "corpus ok" in r.stdout, r.stdout + r.stderr
+    r = run("--hash")
+    assert r.returncode == 0 and "corpus ok" in r.stdout, r.stdout + r.stderr
+
+    wav.write_bytes(b"TRUNC")  # corrupted: only --hash may catch it
+    r = run()
+    assert r.returncode == 0 and "corpus ok" in r.stdout
+    r = run("--hash", "--check_only")
+    assert r.returncode == 3 and "corpus incomplete" in r.stdout
+
+    wav.unlink()  # missing: the cheap existence check must catch it
+    r = run("--check_only")
+    assert r.returncode == 3 and "corpus incomplete" in r.stdout

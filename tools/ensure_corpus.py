@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--csv_dir", default=os.path.join(ROOT, "data"))
     ap.add_argument("--hash", action="store_true",
                     help="verify per-file sha256, not just existence")
+    ap.add_argument("--check_only", action="store_true",
+                    help="exit 3 when incomplete instead of regenerating")
     args = ap.parse_args()
 
     fp_path = os.path.join(args.csv_dir, "corpus_fingerprint.json")
@@ -55,10 +57,15 @@ def main():
         return
 
     print(f"corpus incomplete ({missing}/{len(fp['files'])} files missing"
-          f"{' or mismatched' if args.hash else ''}) — regenerating...")
+          f"{' or mismatched' if args.hash else ''})"
+          + (":" if args.check_only else " — regenerating..."))
+    if args.check_only:
+        sys.exit(3)
     want = fp["corpus_sha256"]
     subprocess.run([sys.executable,
-                    os.path.join(ROOT, "tools", "generate_corpus.py")],
+                    os.path.join(ROOT, "tools", "generate_corpus.py"),
+                    "--csv_dir", args.csv_dir,
+                    "--out_dir", os.path.join(args.csv_dir, "corpus")],
                    check=True)
     with open(fp_path) as f:
         got = json.load(f)["corpus_sha256"]
