@@ -34,7 +34,7 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
                        dump_dir: str | None = None,
                        out_json: str | None = None,
                        snr_low: float = 0.0, snr_high: float = 25.0,
-                       enroll_len: int = 0):
+                       enroll_len: int = 0, enroll_mode: str = "self"):
     """Shared eval loop: stream the test split through ``run(params, mix)``.
 
     Reports SI-SDR / STOI / PESQ before/after and RTF (compile excluded),
@@ -69,14 +69,23 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
         noisy = np.asarray(data["mix"][0, 0])
         if enroll_len:
             # speaker-conditioned families (wants_enroll): append the
-            # enrollment channel — last `enroll_len` ACTIVE samples of
-            # the reverberant target image, matching the fused trainer's
-            # convention (train/utterance.py _mixed_batch)
-            nz = np.nonzero(np.abs(src) > 1e-7)[0]
-            end = int(nz[-1]) + 1 if len(nz) else len(src)
-            el = min(enroll_len, end)
+            # enrollment channel. Modes:
+            #   self      — last enroll_len ACTIVE samples of the
+            #               reverberant target image (round-3 upper
+            #               bound; leaks the target)
+            #   separate  — dry clean wav of a DIFFERENT utterance of
+            #               the target speaker (deployable; corpus v3)
+            #   nontarget — a different SPEAKER's utterance (negative
+            #               control: identity-using models must degrade)
             chan = np.zeros((1, 1, mix.shape[-1]), np.float32)
-            chan[0, 0, :el] = src[end - el:end]
+            if enroll_mode == "self":
+                nz = np.nonzero(np.abs(src) > 1e-7)[0]
+                end = int(nz[-1]) + 1 if len(nz) else len(src)
+                el = min(enroll_len, end)
+                chan[0, 0, :el] = src[end - el:end]
+            else:
+                enr = dataset.enroll_for_item(i, enroll_mode, enroll_len)
+                chan[0, 0, :enroll_len] = enr
             mix = jnp.concatenate([mix, jnp.asarray(chan)], axis=1)
 
         # first occurrence of a length compiles; exclude it from RTF
@@ -152,6 +161,7 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
             json.dump({"model": model_name, "weights": ckpt,
                        "num_items": count,
                        "test_snr": [snr_low, snr_high],
+                       "enroll_mode": enroll_mode if enroll_len else None,
                        "items": rows,
                        "means": result}, f, indent=2)
         print(f"eval artifact -> {out_json}")
@@ -162,7 +172,8 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             num_items: int | None = None, weights: str | None = None,
             profile_dir: str | None = None, dump_dir: str | None = None,
             out_json: str | None = None, quantize: bool = False,
-            snr_low: float = 0.0, snr_high: float = 25.0):
+            snr_low: float = 0.0, snr_high: float = 25.0,
+            enroll_mode: str = "self"):
     config = load_config(config_path)
     from semi_tpu.models import MODEL_REGISTRY
 
@@ -220,7 +231,8 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
                               snr_low=snr_low, snr_high=snr_high,
                               enroll_len=(model.enroll_len if
                                           getattr(model, "wants_enroll",
-                                                  False) else 0))
+                                                  False) else 0),
+                              enroll_mode=enroll_mode)
 
 
 if __name__ == "__main__":
@@ -245,9 +257,16 @@ if __name__ == "__main__":
                         help="Test-split mixing SNR low bound (dB)")
     parser.add_argument("--snr_high", default=25.0, type=float,
                         help="Test-split mixing SNR high bound (dB)")
+    parser.add_argument("--enroll_mode", default="self", type=str,
+                        choices=("self", "separate", "nontarget"),
+                        help="speaker-conditioned families: enrollment "
+                             "source (self=target's own image [leaks], "
+                             "separate=sibling utterance, nontarget="
+                             "different speaker [negative control])")
     args = parser.parse_args()
     predict(args.config_path, args.name, args.user_defined_name,
             num_items=args.num_items, weights=args.weights,
             profile_dir=args.profile_dir, dump_dir=args.dump_dir,
             out_json=args.out_json, quantize=args.quantize,
-            snr_low=args.snr_low, snr_high=args.snr_high)
+            snr_low=args.snr_low, snr_high=args.snr_high,
+            enroll_mode=args.enroll_mode)

@@ -144,6 +144,16 @@ class LibriPartyDataset:
         self.seed = config["config"].get("seed", 0)
         self.synthetic_ok = synthetic_ok
 
+        # separate-utterance enrollment (corpus v3, round 4): when the
+        # clean manifests carry a ``spk`` column and config.enroll_mode
+        # is "separate", every item also selects a DIFFERENT utterance
+        # of the target speaker as the enrollment source — deployable
+        # speaker conditioning with zero target leakage (the round-3
+        # self-enrollment upper bound lives in train/utterance.py's
+        # fallback path and stays available for spk_r3 compat).
+        self.enroll_mode = config["config"].get("enroll_mode", "self")
+        self.enroll_len = config["config"].get("enroll_len", 32000)
+
         self.all_csv = self._load_manifests(config.get("dataset", {}))
         self.buffer: list = []
         self.epoch = 0
@@ -171,6 +181,7 @@ class LibriPartyDataset:
             split_cfg = dataset_cfg.get(split, {})
             for kind, paths in split_cfg.items():
                 rows = []
+                spk = []
                 for p in paths:
                     if os.path.exists(p):
                         import pandas as pd
@@ -181,9 +192,44 @@ class LibriPartyDataset:
                         rows.extend(
                             q if os.path.isabs(q) else os.path.join(base, q)
                             for q in df["path"].dropna().tolist())
+                        # optional speaker column (corpus v3 clean
+                        # manifests) for separate-utterance enrollment
+                        if "spk" in df.columns:
+                            spk.extend(df["spk"].tolist())
                 entry[kind] = rows
+                if kind == "clean" and len(spk) == len(rows) and rows:
+                    entry["clean_spk"] = spk
             out[split] = entry
         return out
+
+    def _spk_siblings(self, split: str) -> dict | None:
+        """spk id -> np.array of clean-manifest indices (cached)."""
+        cache = getattr(self, "_spk_groups", None)
+        if cache is None:
+            cache = self._spk_groups = {}
+        if split not in cache:
+            spk = self.all_csv.get(split, {}).get("clean_spk")
+            if spk is None:
+                cache[split] = None
+            else:
+                groups: dict = {}
+                for i, s in enumerate(spk):
+                    groups.setdefault(s, []).append(i)
+                cache[split] = {s: np.asarray(v, np.int64)
+                                for s, v in groups.items()}
+        return cache[split]
+
+    def _draw_enroll_idx(self, rng: np.random.Generator,
+                        target_idx: int) -> int:
+        """A different utterance of target_idx's speaker (uniform over
+        siblings; falls back to the target itself for singleton
+        speakers — v2 manifests without a spk column never get here)."""
+        spk = self.all_csv[self.dataset]["clean_spk"]
+        sibs = self._spk_siblings(self.dataset)[spk[target_idx]]
+        cands = sibs[sibs != target_idx]
+        if len(cands) == 0:
+            return int(target_idx)
+        return int(cands[int(rng.integers(len(cands)))])
 
     def _have_real_data(self) -> bool:
         csv = self.all_csv.get(self.dataset, {})
@@ -240,14 +286,21 @@ class LibriPartyDataset:
         return wav
 
     def _load_clean(self, rng: np.random.Generator) -> np.ndarray:
+        wav, _ = self._load_clean_idx(rng)
+        return wav
+
+    def _load_clean_idx(self, rng: np.random.Generator):
+        """(wav, manifest index) — index is -1 for the synthetic source."""
         if self._have_real_data():
             paths = self.all_csv[self.dataset]["clean"]
             wav = np.zeros(0, np.float32)
+            i = -1
             while len(wav) < 16000:
-                wav = self._read_cached(paths[int(rng.integers(len(paths)))])
-            return wav
+                i = int(rng.integers(len(paths)))
+                wav = self._read_cached(paths[i])
+            return wav, i
         length = int(rng.integers(32000, 96000))
-        return _synthetic_clean(rng, length, self.sample_rate)
+        return _synthetic_clean(rng, length, self.sample_rate), -1
 
     def _load_noise(self, rng: np.random.Generator, target_len: int) -> np.ndarray:
         if self._have_real_data():
@@ -266,16 +319,26 @@ class LibriPartyDataset:
         noise selection. Returns ``(clean[spk, mix_len], noise_wav[mix_len],
         key, utt_len)`` — the exact inputs of the device mixer, so callers
         (``_make_utterance`` and the device-resident sampler) share one
-        deterministic RNG chain."""
+        deterministic RNG chain.
+
+        With ``enroll_mode == "separate"`` (and a spk-keyed manifest) a
+        fifth element ``enroll[enroll_len]`` is appended: the dry clean
+        waveform of a DIFFERENT utterance of slot-0's speaker. Its draw
+        comes AFTER every existing draw, so the mixture chain — and
+        therefore item-for-item comparability with unconditioned runs —
+        is unchanged."""
         rng = self._rng(index)
         cleans = []
+        clean_idx = []
         for _ in range(self.spk_num):
-            wav = self._load_clean(rng)
+            wav, ci = self._load_clean_idx(rng)
             if self.do_perturb:
                 speed = SPEEDS[int(rng.integers(len(SPEEDS)))]
                 wav = np.asarray(speed_perturb(jnp.asarray(wav), speed,
                                                self.sample_rate))
             cleans.append(wav)
+            clean_idx.append(ci)
+        self._last_clean_idx = clean_idx
 
         # static mixture length: trim/zero-pad to mix_len
         clean = np.zeros((self.spk_num, self.mix_len), np.float32)
@@ -291,7 +354,19 @@ class LibriPartyDataset:
         # the producer thread -- ~4 s per 128-utterance block on this
         # relay. Seeds are < 2**31 so hi is always 0.
         key = np.asarray([0, rng.integers(2**31)], np.uint32)
+        if self._separate_enroll():
+            sib = self._draw_enroll_idx(rng, clean_idx[0])
+            wav = self._read_cached(self.all_csv[self.dataset]["clean"][sib])
+            enroll = np.zeros(self.enroll_len, np.float32)
+            n = min(len(wav), self.enroll_len)
+            enroll[:n] = wav[:n]
+            return clean, noise_wav, key, utt_len, enroll
         return clean, noise_wav, key, utt_len
+
+    def _separate_enroll(self) -> bool:
+        return (self.enroll_mode == "separate"
+                and self.all_csv.get(self.dataset, {}).get("clean_spk")
+                is not None)
 
     def corpus_tables(self):
         """Decode the ACTIVE split's whole corpus into fixed tables for
@@ -354,15 +429,58 @@ class LibriPartyDataset:
         # the producer thread -- ~4 s per 128-utterance block on this
         # relay. Seeds are < 2**31 so hi is always 0.
         key = np.asarray([0, rng.integers(2**31)], np.uint32)
+        if self._separate_enroll():
+            # same convention as utterance_inputs: the sibling draw is
+            # the LAST draw of the chain (mixture draws unchanged)
+            sib = self._draw_enroll_idx(rng, clean_idx[0])
+            return (np.asarray(clean_idx, np.int32), i_n, off, key,
+                    utt_len, sib)
         return (np.asarray(clean_idx, np.int32), i_n, off, key, utt_len)
 
     def _make_utterance(self, index: int):
-        clean, noise_wav, key, utt_len = self.utterance_inputs(index)
+        out = self.utterance_inputs(index)
+        clean, noise_wav, key, utt_len = out[:4]
+        # separate-utterance enrollment rides alongside for the
+        # piece/eval path (predict.py fetches it via enroll_for_item)
+        self._last_enroll = out[4] if len(out) > 4 else None
         mix, source, noise = self.pipeline(
             key, jnp.asarray(clean), jnp.asarray(noise_wav),
             self.snr_low, self.snr_high, utt_len,
             augment=self.do_augment, noise=self.do_noise)
         return (np.asarray(mix), np.asarray(source), np.asarray(noise), utt_len)
+
+    def enroll_for_item(self, index: int, mode: str,
+                        enroll_len: int) -> np.ndarray:
+        """Eval-time enrollment for the item just produced by
+        ``self[index]`` (test split maps 1:1 to utterances).
+
+        mode "separate": the sibling drawn inside utterance_inputs.
+        mode "nontarget": a DIFFERENT speaker's utterance (negative
+        control — a conditioned model that truly uses identity must get
+        WORSE here than with the matched enrollment), drawn from a
+        dedicated rng stream keyed on the item index."""
+        if mode == "separate":
+            assert getattr(self, "_last_enroll", None) is not None, (
+                "separate enrollment needs enroll_mode=separate and a "
+                "spk-keyed manifest")
+            out = np.zeros(enroll_len, np.float32)
+            n = min(len(self._last_enroll), enroll_len)
+            out[:n] = self._last_enroll[:n]
+            return out
+        assert mode == "nontarget", mode
+        spk = self.all_csv[self.dataset]["clean_spk"]
+        tgt = self._last_clean_idx[0]
+        rng = np.random.default_rng(np.random.SeedSequence(
+            [self.seed, self.epoch, index, 0xE960]))
+        while True:
+            i = int(rng.integers(len(spk)))
+            if spk[i] != spk[tgt]:
+                break
+        wav = self._read_cached(self.all_csv[self.dataset]["clean"][i])
+        out = np.zeros(enroll_len, np.float32)
+        n = min(len(wav), enroll_len)
+        out[:n] = wav[:n]
+        return out
 
     def _bucket(self, n: int) -> int:
         return max(16000, (n // 8000) * 8000)

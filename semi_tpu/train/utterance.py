@@ -92,8 +92,12 @@ def _gather_inputs(corpus_clean, corpus_noise, meta, mix_len):
     return clean, noise
 
 
-def _mixed_batch(model, mixer, lead, snr, batch_k):
-    """One batch of B utterances: device mix -> (mix, target, length)."""
+def _mixed_batch(model, mixer, lead, snr, batch_k, enroll=None):
+    """One batch of B utterances: device mix -> (mix, target, length).
+
+    ``enroll`` (separate-utterance conditioning, corpus v3): ``[B, el]``
+    int16 dry sibling-utterance waveforms; when given they become the
+    enrollment channel instead of the self-enrollment fallback below."""
     clean, noise_wav, keys, utt_len = batch_k
     # wavs travel host->device as int16 (lossless for 16-bit corpora;
     # and the device corpus stores int16 rows)
@@ -110,19 +114,25 @@ def _mixed_batch(model, mixer, lead, snr, batch_k):
     mix = jnp.pad(mix, ((0, 0), (0, 0), (lead, 0)))
     target = jnp.pad(source[:, 0, 0], ((0, 0), (lead, 0)))
     if getattr(model, "wants_enroll", False):
-        # speaker-conditioned families (TemporalCRNSpk): append the
-        # enrollment as one extra channel — the last enroll_len samples
-        # of the reverberant target image at mic 0 (self-enrollment;
-        # the model's time-pooled encoder makes content alignment
-        # unusable, see models/crn.py TemporalCRNSpk docstring)
-        el = min(model.enroll_len, source.shape[-1])
-
-        def enroll_slice(s, ul):
-            start = jnp.maximum(ul - el, 0)
-            return jax.lax.dynamic_slice_in_dim(s, start, el)
-
-        enr = jax.vmap(enroll_slice)(source[:, 0, 0], utt_len)  # [B, el]
         chan = jnp.zeros((mix.shape[0], 1, mix.shape[-1]), mix.dtype)
+        if enroll is not None:
+            # deployable conditioning: dry clean wav of a DIFFERENT
+            # utterance of the target speaker (zero target leakage)
+            el = min(model.enroll_len, enroll.shape[-1])
+            enr = enroll[:, :el].astype(jnp.float32) / 32768.0
+        else:
+            # self-enrollment fallback (round-3 spk_r3 upper bound):
+            # the last enroll_len samples of the reverberant target
+            # image at mic 0 — leaks the target; kept for compat
+            # (the model's time-pooled encoder makes content alignment
+            # unusable, see models/crn.py TemporalCRNSpk docstring)
+            el = min(model.enroll_len, source.shape[-1])
+
+            def enroll_slice(s, ul):
+                start = jnp.maximum(ul - el, 0)
+                return jax.lax.dynamic_slice_in_dim(s, start, el)
+
+            enr = jax.vmap(enroll_slice)(source[:, 0, 0], utt_len)  # [B, el]
         chan = chan.at[:, 0, :el].set(enr)
         mix = jnp.concatenate([mix, chan], axis=1)
     return mix, target, utt_len + lead
@@ -149,8 +159,9 @@ def make_utterance_train_step(model, dataset, k_batches: int,
     snr = (float(dataset.snr_low), float(dataset.snr_high))
     mix_len = dataset.mix_len
 
-    def one_batch(ts: TrainState, batch_k):
-        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
+    def one_batch(ts: TrainState, batch_k, enroll=None):
+        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k,
+                                           enroll=enroll)
         b = mix.shape[0]
 
         def loss_fn(params):
@@ -194,8 +205,9 @@ def make_utterance_train_step(model, dataset, k_batches: int,
     if not use_corpus:
         def step(ts: TrainState, inputs):
             xs = (inputs["clean"], inputs["noise"], inputs["key"],
-                  inputs["utt_len"])
-            return jax.lax.scan(lambda t, x: one_batch(t, x), ts, xs)
+                  inputs["utt_len"], inputs.get("enroll"))
+            return jax.lax.scan(
+                lambda t, x: one_batch(t, x[:4], enroll=x[4]), ts, xs)
 
         return step
 
@@ -203,8 +215,10 @@ def make_utterance_train_step(model, dataset, k_batches: int,
         def body(t, meta):
             clean, noise = _gather_inputs(corpus_clean, corpus_noise,
                                           meta, mix_len)
+            enroll = corpus_clean[meta["enroll_idx"]] \
+                if "enroll_idx" in meta else None
             return one_batch(t, (clean, noise, meta["key"],
-                                 meta["utt_len"]))
+                                 meta["utt_len"]), enroll=enroll)
 
         return jax.lax.scan(body, ts, inputs)
 
@@ -220,10 +234,11 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
     snr = (float(dataset.snr_low), float(dataset.snr_high))
     mix_len = dataset.mix_len
 
-    def one_batch(params, batch_k):
+    def one_batch(params, batch_k, enroll=None):
         from semi_tpu.metrics.losses import stoi_loss
 
-        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k)
+        mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k,
+                                           enroll=enroll)
         b = mix.shape[0]
         state = model.init_state(b)
         pred, _ = model.realtime_process_batched(
@@ -236,9 +251,10 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
     if not use_corpus:
         def step(params, inputs):
             xs = (inputs["clean"], inputs["noise"], inputs["key"],
-                  inputs["utt_len"])
-            _, ms = jax.lax.scan(lambda c, x: (c, one_batch(params, x)),
-                                 None, xs)
+                  inputs["utt_len"], inputs.get("enroll"))
+            _, ms = jax.lax.scan(
+                lambda c, x: (c, one_batch(params, x[:4], enroll=x[4])),
+                None, xs)
             return ms
 
         return step
@@ -247,8 +263,10 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
         def body(c, meta):
             clean, noise = _gather_inputs(corpus_clean, corpus_noise,
                                           meta, mix_len)
+            enroll = corpus_clean[meta["enroll_idx"]] \
+                if "enroll_idx" in meta else None
             return c, one_batch(params, (clean, noise, meta["key"],
-                                         meta["utt_len"]))
+                                         meta["utt_len"]), enroll=enroll)
 
         _, ms = jax.lax.scan(body, None, inputs)
         return ms
@@ -296,17 +314,25 @@ class UtteranceBatchSampler:
         noise = np.zeros((k, b, ds.mix_len), np.int16)
         keys = np.zeros((k, b, 2), np.uint32)
         lens = np.zeros((k, b), np.int32)
+        sep = ds._separate_enroll()
+        enroll = np.zeros((k, b, ds.enroll_len), np.int16) if sep else None
         idx = index0
         for i in range(k):
             for j in range(b):
-                c, nz, key, ul = ds.utterance_inputs(
+                out = ds.utterance_inputs(
                     idx * self.proc_count + self.proc_index)
+                c, nz, key, ul = out[:4]
                 clean[i, j] = np.clip(c * 32768.0, -32768, 32767)
                 noise[i, j] = np.clip(nz * 32768.0, -32768, 32767)
                 keys[i, j] = np.asarray(key, np.uint32)
                 lens[i, j] = ul
+                if sep:
+                    enroll[i, j] = np.clip(out[4] * 32768.0, -32768, 32767)
                 idx += 1
-        return {"clean": clean, "noise": noise, "key": keys, "utt_len": lens}
+        out = {"clean": clean, "noise": noise, "key": keys, "utt_len": lens}
+        if sep:
+            out["enroll"] = enroll
+        return out
 
     def next_batch(self) -> dict:
         return next(self._it)
@@ -351,18 +377,26 @@ class UtteranceMetaSampler:
         off = np.zeros((k, b), np.int32)
         keys = np.zeros((k, b, 2), np.uint32)
         lens = np.zeros((k, b), np.int32)
+        sep = ds._separate_enroll()
+        ei = np.zeros((k, b), np.int32) if sep else None
         idx = index0
         for i in range(k):
             for j in range(b):
-                c_idx, n_idx, n_off, key, ul = ds.utterance_meta(
+                out = ds.utterance_meta(
                     idx * self.proc_count + self.proc_index,
                     co.clean_len, co.noise_len)
+                c_idx, n_idx, n_off, key, ul = out[:5]
                 ci[i, j], ni[i, j], off[i, j] = c_idx, n_idx, n_off
                 keys[i, j] = np.asarray(key, np.uint32)
                 lens[i, j] = ul
+                if sep:
+                    ei[i, j] = out[5]
                 idx += 1
-        return {"clean_idx": ci, "noise_idx": ni, "noise_off": off,
-                "key": keys, "utt_len": lens}
+        out = {"clean_idx": ci, "noise_idx": ni, "noise_off": off,
+               "key": keys, "utt_len": lens}
+        if sep:
+            out["enroll_idx"] = ei
+        return out
 
     def next_batch(self) -> dict:
         return next(self._it)

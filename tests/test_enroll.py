@@ -1,0 +1,231 @@
+"""Corpus v3 speaker-keyed enrollment: generator, dataset, trainer.
+
+Round-4 wave (VERDICT r3 next #1): deployable speaker conditioning
+needs enrollment from a DIFFERENT utterance of the target speaker —
+zero target leakage. These tests pin:
+- the v3 generator's spk-keyed manifests + per-speaker voice stability,
+- the dataset's separate-enrollment draw (appended AFTER the mixture
+  chain, so mixtures stay item-for-item identical with/without it),
+- the meta/array twin equivalence including the enrollment index,
+- the fused trainer's enrollment channel (array and corpus modes),
+- predict's nontarget negative-control source.
+"""
+
+import copy
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_trainer import TINY_CONFIG
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def v3_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("v3corpus")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "generate_corpus.py"),
+         "--csv_dir", str(d), "--out_dir", str(d / "corpus"),
+         "--version", "3", "--spk_utts", "3",
+         "--train_clean", "9", "--train_noise", "2",
+         "--dev_clean", "3", "--dev_noise", "1",
+         "--test_clean", "6", "--test_noise", "1"],
+        check=True, capture_output=True)
+    return d
+
+
+def _v3_config(d, enroll_mode="separate"):
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["enroll_mode"] = enroll_mode
+    cfg["config"]["enroll_len"] = 16000
+    cfg["dataset"] = {
+        "train": {"clean": [str(d / "final_train.csv")],
+                  "noise": [str(d / "final_train_noise.csv")]},
+        "dev": {"clean": [str(d / "final_dev.csv")],
+                "noise": [str(d / "final_dev_noise.csv")]},
+        "test": {"clean": [str(d / "final_test.csv")],
+                 "noise": [str(d / "DNS_test_noise.csv")]},
+    }
+    return cfg
+
+
+def test_v3_manifest_has_spk_column(v3_corpus):
+    import pandas as pd
+
+    df = pd.read_csv(v3_corpus / "final_train.csv")
+    assert list(df.columns) == ["path", "spk"]
+    counts = df.groupby("spk").size()
+    assert (counts == 3).all(), counts  # spk_utts utterances per speaker
+    # noise manifests stay single-column
+    dn = pd.read_csv(v3_corpus / "final_train_noise.csv")
+    assert list(dn.columns) == ["path"]
+    # fingerprint carries sizes + regeneration args (ensure_corpus v3)
+    import json
+
+    fp = json.load(open(v3_corpus / "corpus_fingerprint.json"))
+    assert fp["version"] == 3
+    assert set(fp["sizes"]) == set(fp["files"])
+    assert "--version" in fp["generator_args"]
+
+
+def test_v3_voice_is_speaker_stable(v3_corpus):
+    """Two utterances of one speaker share voice parameters: their
+    long-term average spectra are closer than across speakers."""
+    import pandas as pd
+    from semi_tpu.data.wav import read_wav
+
+    df = pd.read_csv(v3_corpus / "final_train.csv")
+
+    def lta(rel):
+        w, _ = read_wav(str(v3_corpus / rel), 16000)
+        n, hop = 400, 160
+        fr = np.lib.stride_tricks.sliding_window_view(w, n)[::hop]
+        e = np.log(np.abs(np.fft.rfft(fr * np.hanning(n), axis=-1)).mean(0)
+                   + 1e-6)
+        return (e - e.mean()) / (e.std() + 1e-9)
+
+    embs = np.stack([lta(p) for p in df["path"]])
+    spk = df["spk"].to_numpy()
+    sims = embs @ embs.T / embs.shape[1]
+    same = [sims[i, j] for i in range(len(spk)) for j in range(i + 1, len(spk))
+            if spk[i] == spk[j]]
+    diff = [sims[i, j] for i in range(len(spk)) for j in range(i + 1, len(spk))
+            if spk[i] != spk[j]]
+    assert np.mean(same) > np.mean(diff)
+
+
+def test_separate_enroll_is_sibling_not_target(v3_corpus):
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    ds = LibriPartyDataset(_v3_config(v3_corpus))
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(0)
+    spk = ds.all_csv["train"]["clean_spk"]
+    for i in range(6):
+        out = ds.utterance_inputs(i)
+        assert len(out) == 5
+        clean, _, _, _, enroll = out
+        tgt = ds._last_clean_idx[0]
+        # the enrollment must be a different utterance of the SAME speaker
+        paths = ds.all_csv["train"]["clean"]
+        matches = [j for j, p in enumerate(paths)
+                   if np.array_equal(ds._read_cached(p)[:16000],
+                                     enroll[:len(ds._read_cached(p)[:16000])])
+                   and len(ds._read_cached(p)) >= 1]
+        assert matches, "enrollment not found in the corpus"
+        j = matches[0]
+        assert spk[j] == spk[tgt]
+        assert j != tgt, "enrollment leaked the target utterance"
+
+
+def test_mixture_chain_unchanged_by_enroll_mode(v3_corpus):
+    """enroll draws append to the chain: the mixture inputs for item i
+    are bit-identical with and without separate enrollment — paired
+    comparisons across conditioned/unconditioned runs stay item-matched."""
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    a = LibriPartyDataset(_v3_config(v3_corpus, "separate"))
+    b = LibriPartyDataset(_v3_config(v3_corpus, "self"))
+    for ds in (a, b):
+        ds.set_attribute("train", augment=False)
+        ds.init_seed(3)
+    for i in range(4):
+        oa, ob = a.utterance_inputs(i), b.utterance_inputs(i)
+        assert len(oa) == 5 and len(ob) == 4
+        for x, y in zip(oa[:4], ob):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_meta_twin_matches_array_path_with_enroll(v3_corpus):
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    ds = LibriPartyDataset(_v3_config(v3_corpus))
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(1)
+    clean, clean_len, noise, noise_len = ds.corpus_tables()
+    for i in range(4):
+        arr = ds.utterance_inputs(i)
+        meta = ds.utterance_meta(i, clean_len, noise_len)
+        assert len(meta) == 6
+        c_idx, _, _, key, ul, e_idx = meta
+        np.testing.assert_array_equal(arr[2], key)
+        assert arr[3] == ul
+        # enrollment wav == the meta-indexed corpus row (int16 quantized)
+        row = clean[e_idx].astype(np.float32) / 32768.0
+        el = len(arr[4])
+        np.testing.assert_allclose(arr[4][:el], row[:el], atol=1.0 / 32768)
+
+
+def test_fused_step_trains_spk_model_with_enroll(v3_corpus):
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.models.crn import TemporalCRNSpk
+    from semi_tpu.train.step import init_train_state
+    from semi_tpu.train.utterance import (
+        DeviceCorpus, UtteranceBatchSampler, UtteranceMetaSampler,
+        make_utterance_train_step)
+
+    cfg = _v3_config(v3_corpus)
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(0)
+    m = TemporalCRNSpk(spk_dim=8, enroll_len=16000,
+                       **{k: v for k, v in cfg["TemporalCRN"].items()})
+    params = m.init(jax.random.PRNGKey(0))
+    ts = init_train_state(params, lr=3e-4)
+
+    s_arr = UtteranceBatchSampler(ds, batch=2, k_batches=1)
+    try:
+        inputs = s_arr.next_batch()
+    finally:
+        s_arr.close()
+    assert inputs["enroll"].shape == (1, 2, 16000)
+    step = jax.jit(make_utterance_train_step(m, ds, k_batches=1))
+    ts1, ms = step(ts, inputs)
+    assert np.isfinite(float(np.asarray(ms["loss"])[0]))
+
+    # corpus mode: same meta chain -> identical loss
+    corpus = DeviceCorpus(ds)
+    s_meta = UtteranceMetaSampler(ds, corpus, batch=2, k_batches=1)
+    try:
+        meta = s_meta.next_batch()
+    finally:
+        s_meta.close()
+    assert "enroll_idx" in meta
+    stepc = jax.jit(make_utterance_train_step(m, ds, k_batches=1,
+                                              use_corpus=True))
+    ts2, msc = stepc(ts, corpus.clean, corpus.noise, meta)
+    np.testing.assert_allclose(np.asarray(ms["loss"]),
+                               np.asarray(msc["loss"]), atol=2e-3)
+    # and conditioning is live: gradients flow into the spk subtree
+    g = np.asarray(jax.tree_util.tree_leaves(ts1.grad_accum)[0])
+    assert np.all(np.isfinite(g))
+
+
+def test_enroll_for_item_modes(v3_corpus):
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    ds = LibriPartyDataset(_v3_config(v3_corpus))
+    ds.set_attribute("test", augment=False, perturb=False)
+    ds.init_seed(0)
+    _ = ds[0]
+    spk = ds.all_csv["test"]["clean_spk"]
+    tgt = ds._last_clean_idx[0]
+    sep = ds.enroll_for_item(0, "separate", 16000)
+    non = ds.enroll_for_item(0, "nontarget", 16000)
+    assert sep.shape == (16000,) and non.shape == (16000,)
+    assert not np.array_equal(sep, non)
+    # nontarget draw really is a different speaker
+    paths = ds.all_csv["test"]["clean"]
+    j = [k for k, p in enumerate(paths)
+         if np.array_equal(ds._read_cached(p)[:16000],
+                           non[:min(16000, len(ds._read_cached(p)))])][0]
+    assert spk[j] != spk[tgt]
+    # deterministic across calls
+    np.testing.assert_array_equal(non, ds.enroll_for_item(0, "nontarget",
+                                                          16000))

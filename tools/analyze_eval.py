@@ -44,17 +44,23 @@ def kind_name(k: int) -> str:
 NOISE_TAG = zlib.crc32(b"noise") & 0xFFFF
 
 
-def noise_kind(idx: int, seed0: int = 3000) -> str:
+def noise_kind(idx: int, seed0: int = 3000, version: int = 2) -> str:
+    # the version is the LAST SeedSequence element (generate_corpus.py
+    # main(): [...: stable_tag(kind), args.version]); kind inventory
+    # split is identical in synth_noise and synth_noise_v3
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed0, idx, NOISE_TAG, 2]))
+        np.random.SeedSequence([seed0, idx, NOISE_TAG, version]))
     rng.uniform(8.0, 15.0)  # the length draw comes first
     return kind_name(int(rng.integers(0, 8)))
 
 
-def check_replay_against_fingerprint(idx: int, seed0: int = 3000) -> None:
+def check_replay_against_fingerprint(idx: int, seed0: int = 3000,
+                                     csv_dir: str = "data") -> None:
     """Regenerate test-noise file ``idx`` from the replayed seed chain
-    and require its bytes to match data/corpus_fingerprint.json — proof
-    the kind replay reads the SAME rng stream that made the corpus."""
+    and require its bytes to match <csv_dir>/corpus_fingerprint.json —
+    proof the kind replay reads the SAME rng stream that made the
+    corpus (v2 and v3 corpora both supported; version comes from the
+    fingerprint)."""
     import hashlib
     import importlib.util
     import tempfile
@@ -66,15 +72,18 @@ def check_replay_against_fingerprint(idx: int, seed0: int = 3000) -> None:
     spec.loader.exec_module(gc)
     from semi_tpu.data.wav import write_wav
 
+    fpj = json.load(open(os.path.join(csv_dir, "corpus_fingerprint.json")))
+    version = fpj.get("version", 2)
     assert gc.stable_tag("noise") == NOISE_TAG, "tag drifted vs generator"
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed0, idx, NOISE_TAG, 2]))
+        np.random.SeedSequence([seed0, idx, NOISE_TAG, version]))
     length = int(rng.uniform(8.0, 15.0) * gc.FS)
-    wav = gc.synth_noise(rng, length)
+    wav = gc.synth_noise(rng, length) if version == 2 \
+        else gc.synth_noise_v3(rng, length)
     with tempfile.NamedTemporaryFile(suffix=".wav") as t:
         write_wav(t.name, wav, gc.FS)
         h = hashlib.sha256(open(t.name, "rb").read()).hexdigest()
-    fp = json.load(open("data/corpus_fingerprint.json"))["files"]
+    fp = fpj["files"]
     rel = f"corpus/test/noise/test_noise_{idx:05d}.wav"
     assert fp[rel] == h, f"replayed {rel} does not match the fingerprint"
 
@@ -105,6 +114,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("artifact")
     ap.add_argument("--config", default="./config_parity.yaml")
+    ap.add_argument("--csv_dir", default="data",
+                    help="manifest dir whose fingerprint pins the replay "
+                         "(data = corpus v2, data_v3 = speaker-keyed v3)")
     ap.add_argument("--snr_low", type=float, default=None,
                     help="default: the artifact's pinned test_snr")
     ap.add_argument("--snr_high", type=float, default=None)
@@ -119,14 +131,16 @@ def main():
         f"protocol mismatch: artifact pinned {art['test_snr']}, got {[lo, hi]}")
 
     config = load_config(args.config)
+    version = json.load(open(os.path.join(
+        args.csv_dir, "corpus_fingerprint.json"))).get("version", 2)
     idxs = item_noise_indices(config, len(art["items"]), lo, hi)
-    check_replay_against_fingerprint(idxs[0])
+    check_replay_against_fingerprint(idxs[0], csv_dir=args.csv_dir)
 
     groups: dict = {k: [] for k in KINDS}
     for row, idx in zip(art["items"], idxs):
         d = row["enhanced"]
         b = row["noisy"]
-        groups[noise_kind(idx)].append(
+        groups[noise_kind(idx, version=version)].append(
             (d["sisdr"] - b["sisdr"], d["stoi"] - b["stoi"],
              d["pesq"] - b["pesq"]))
     print(f"{art['model']}  ({os.path.basename(args.artifact)}, "

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from semi_tpu.models import build_model
-from semi_tpu.train.checkpoint import save_pytree
+from semi_tpu.train.checkpoint import load_pytree, save_pytree
 from semi_tpu.utils.config import load_config
 
 
@@ -70,15 +70,12 @@ def main():
     # model reproduce the flagship exactly on the mic channels
     flag = build_model("TemporalCRN", cfg["TemporalCRN"])
     fparams = jax.tree_util.tree_map(
-        jnp.asarray,
-        __import__("semi_tpu.train.checkpoint", fromlist=["load_pytree"])
-        .load_pytree(src_npz, flag.init(jax.random.PRNGKey(0))))
+        jnp.asarray, load_pytree(src_npz, flag.init(jax.random.PRNGKey(0))))
     key = jax.random.PRNGKey(1)
     mics = jax.random.normal(key, (1, spk.num_inputs, 16000)) * 0.05
     enroll = jax.random.normal(jax.random.fold_in(key, 1),
                                (1, 1, 16000)) * 0.05
-    mix = jnp.concatenate(
-        [mics, jnp.pad(enroll, ((0, 0), (0, 0), (0, 0)))], axis=1)
+    mix = jnp.concatenate([mics, enroll], axis=1)
     y_flag, _ = flag.realtime_process(fparams, None, mics, False)
     y_spk, _ = spk.realtime_process(out, None, mix, False)
     err = float(jnp.max(jnp.abs(y_flag - y_spk)))
@@ -86,6 +83,15 @@ def main():
     assert err < 1e-5, "zero-init FiLM did not reproduce the flagship"
 
     os.makedirs(args.dst, exist_ok=True)
+    # ADVICE r3 (medium): a stale fine-tune optimizer.npz / mid-epoch
+    # Step.json left behind from a previous run of the SAME dst would be
+    # paired with the freshly reset weights/counters by load_modules — a
+    # silently inconsistent resume. Remove them with the warm start.
+    for stale in ("optimizer.npz", "Step.json"):
+        p = os.path.join(args.dst, stale)
+        if os.path.exists(p):
+            os.remove(p)
+            print(f"removed stale {stale} from {args.dst}")
     save_pytree(os.path.join(args.dst, "TemporalCRN_spk.npz"), out)
     # counters copied verbatim: epoch plan continues 48 -> num_epoch;
     # reset_best_dev in the config re-arms the gate at first dev epoch
