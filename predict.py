@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from semi_tpu.data.dataset import LibriPartyDataset
-from semi_tpu.metrics.eval import nb_pesq, si_sdr, stoi, wb_pesq
+from semi_tpu.metrics.eval import mcd, nb_pesq, si_sdr, stoi, wb_pesq
 from semi_tpu.models import build_model
 from semi_tpu.train.checkpoint import load_pytree
 from semi_tpu.utils.config import load_config
@@ -57,7 +57,8 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
     sums = {k: 0.0 for k in
             ("d_sisdr", "b_sisdr", "a_sisdr", "d_stoi", "b_stoi", "a_stoi",
              "d_pesq", "b_pesq", "a_pesq",
-             "d_npesq", "b_npesq", "a_npesq")}
+             "d_npesq", "b_npesq", "a_npesq",
+             "d_mcd", "b_mcd", "a_mcd")}
     rtf_acc, count, rtf_count = 0.0, 0, 0
     seen_lengths: set = set()
     rows: list = []
@@ -121,15 +122,17 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
             "stoi": stoi(src, pred, 16000),
             "pesq": wb_pesq(src, pred),
             "npesq": nb_pesq(src, pred),
+            "mcd": mcd(src, pred),
         }
         m_before = {
             "sisdr": si_sdr(src, noisy),
             "stoi": stoi(src, noisy, 16000),
             "pesq": wb_pesq(src, noisy),
             "npesq": nb_pesq(src, noisy),
+            "mcd": mcd(src, noisy),
         }
         count += 1
-        for k in ("sisdr", "stoi", "pesq", "npesq"):
+        for k in ("sisdr", "stoi", "pesq", "npesq", "mcd"):
             sums[f"b_{k}"] += m_before[k]
             sums[f"a_{k}"] += m_after[k]
             sums[f"d_{k}"] += m_after[k] - m_before[k]
@@ -145,7 +148,9 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
               f"PESQ~ {sums['b_pesq']/count:.3f} -> {sums['a_pesq']/count:.3f} "
               f"(d {sums['d_pesq']/count:+.3f}) | "
               f"NB {sums['b_npesq']/count:.3f} -> {sums['a_npesq']/count:.3f} "
-              f"(d {sums['d_npesq']/count:+.3f})", flush=True)
+              f"(d {sums['d_npesq']/count:+.3f}) | "
+              f"MCD {sums['b_mcd']/count:.2f} -> {sums['a_mcd']/count:.2f} "
+              f"(d {sums['d_mcd']/count:+.2f})", flush=True)
 
     rtf = rtf_acc / max(rtf_count, 1)
     print(f"\nFinal over {count} items ({rtf_count} timed, compile excluded): "

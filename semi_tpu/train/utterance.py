@@ -35,7 +35,38 @@ from semi_tpu.train.optim import make_optimizer
 from semi_tpu.train.step import TrainState
 
 __all__ = ["make_utterance_train_step", "make_utterance_eval_step",
-           "UtteranceBatchSampler"]
+           "UtteranceBatchSampler", "shard_utterance_inputs",
+           "replicate_on_mesh"]
+
+
+def shard_utterance_inputs(mesh, inputs: dict, axis: str = "dp") -> dict:
+    """Shard a sampler block over the mesh's data-parallel axis.
+
+    Every leaf is ``[K, B, ...]``: K is the in-program scan dimension
+    (stays local — the scan is sequential by design, one fused dispatch
+    covers K batches), B is the stream batch that shards over devices.
+    XLA then partitions the whole fused program (mix + forward + grads)
+    along B and inserts the gradient all-reduce at the batch-mean loss —
+    the DDP the reference never got working (train.py:251-257), without
+    a line of collective code.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = [None] * x.ndim
+        if x.ndim >= 2:
+            spec[1] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return {k: put(v) for k, v in inputs.items()}
+
+
+def replicate_on_mesh(mesh, tree):
+    """Replicate a pytree (TrainState, device corpus) on every device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
 
 
 def _mixer_fn(dataset):

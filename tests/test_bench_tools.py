@@ -57,3 +57,21 @@ def test_analyze_eval_replay_pins_fingerprint(tmp_path):
     # all four masker kinds reported
     for k in ("impulse", "babble", "am", "pink"):
         assert k in proc.stdout
+
+
+def test_mfu_helper_counts_flops():
+    """semi_tpu.utils.mfu: HLO cost analysis sees the matmul FLOPs and
+    the utilization arithmetic is sane (VERDICT r3 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semi_tpu.utils.mfu import V5E_PEAK_FLOPS, forward_flops, mfu
+
+    n = 256
+    a = jnp.ones((n, n), jnp.float32)
+    f = forward_flops(lambda x: x @ x, a)
+    # a matmul is 2*n^3 FLOPs; cost analysis must land within 2x
+    assert f is not None and 0.5 * 2 * n**3 <= f <= 2 * 2 * n**3
+    # 1 GFLOP in 1 s on a 197 TFLOP/s chip
+    assert abs(mfu(1e9, 1.0) - 1e9 / V5E_PEAK_FLOPS["bfloat16"]) < 1e-12
+    assert mfu(None, 1.0) is None

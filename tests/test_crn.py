@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from semi_tpu.models.crn import TemporalCRN
 
+pytestmark = pytest.mark.core
+
 REF_CFG = dict(
     num_channels=[16, 32, 64, 128], num_freqs=201, hidden=512,
     segment_length=3200, num_layers=2, num_inputs=3, kernel_size=3,

@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.core
+
 
 def test_eight_devices_available():
     assert len(jax.devices()) == 8

@@ -4,6 +4,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.core
+
 from semi_tpu.ops.mask import (
     apply_mask,
     build_complex_ideal_ratio_mask,

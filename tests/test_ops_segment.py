@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from semi_tpu.ops.segment import over_add, segment_gap, segmentation
 
+pytestmark = pytest.mark.core
+
 
 def ref_segmentation(x: np.ndarray, k: int):
     """Literal numpy re-derivation of the reference algorithm."""

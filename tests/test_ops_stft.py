@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from semi_tpu.ops import stft as jstft_mod
 from semi_tpu.ops.stft import StftConfig, hamming_window, istft, stft
 
+pytestmark = pytest.mark.core
+
 N_FFT, HOP, WIN = 400, 160, 400
 
 

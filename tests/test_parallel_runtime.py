@@ -14,6 +14,7 @@ import jax.numpy as jnp
 ATOL = 3e-5
 
 
+@pytest.mark.core
 def test_fullsubnet_stacked_equals_serial():
     from semi_tpu.models.fullsubnet import FullSubNet
 

@@ -10,10 +10,13 @@ import copy
 import json
 
 import numpy as np
+import pytest
 
 from tests.test_trainer import TINY_CONFIG
 
-METRIC_KEYS = ("sisdr", "stoi", "pesq", "npesq")
+pytestmark = pytest.mark.core
+
+METRIC_KEYS = ("sisdr", "stoi", "pesq", "npesq", "mcd")
 
 
 def test_eval_artifact_schema(tmp_path):
