@@ -107,11 +107,50 @@ def worker(pid: int, procs: int, port: int) -> None:
         csum = jax.jit(checksum)(ts2.params)
 
     def scalar(x):  # replicated scalar -> host float on any process
-        return float(np.asarray(x.addressable_shards[0].data))
+        return float(np.asarray(x.addressable_shards[0].data).ravel()[0])
+
+    # -- fused utterance engine across processes (round 4) ------------
+    # The PRODUCTION engine (train/utterance.py: on-device mix + stream
+    # + grads + optimizer in one program) sharded over the same global
+    # mesh: B utterance streams on dp, TrainState replicated, input
+    # blocks assembled per host exactly like a pod would.
+    import copy
+
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.train.utterance import (
+        UtteranceBatchSampler, make_utterance_train_step)
+    from tests.test_trainer import TINY_CONFIG
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["config"]["mix_length"] = 16000
+    ds = LibriPartyDataset(cfg)  # hermetic synthetic source
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(0)
+    sampler = UtteranceBatchSampler(ds, batch=GLOBAL_BATCH, k_batches=1,
+                                    process_index=0, process_count=1)
+    try:
+        inputs = sampler.next_batch()  # deterministic: identical per host
+    finally:
+        sampler.close()
+    fused = jax.jit(make_utterance_train_step(model, ds, k_batches=1))
+
+    def block_spec(x):  # [K, B, ...]: K = local scan dim, B shards on dp
+        spec = [None] * x.ndim
+        if x.ndim >= 2:
+            spec[1] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    uts = globalize(init_train_state(params, lr=3e-4), lambda x: rep)
+    uinputs = globalize(inputs, block_spec)
+    with mesh:
+        uts2, ums = fused(uts, uinputs)
+        ucsum = jax.jit(checksum)(uts2.params)
 
     print(f"MHRESULT pid={pid} procs={procs} "
           f"loss1={scalar(m1['loss']):.10f} loss2={scalar(m2['loss']):.10f} "
-          f"csum={scalar(csum):.6f}", flush=True)
+          f"csum={scalar(csum):.6f} "
+          f"uloss={scalar(ums['loss']):.10f} ucsum={scalar(ucsum):.6f}",
+          flush=True)
 
 
 # -------------------------------------------------------------- launcher
@@ -160,7 +199,7 @@ def launch(procs: int, timeout: int = 900) -> None:
                            f"{ref_out[-3000:]}")
     ref = _parse(ref_out, "reference")
 
-    for key in ("loss1", "loss2", "csum"):
+    for key in ("loss1", "loss2", "csum", "uloss", "ucsum"):
         vals = [float(r[key]) for r in results]
         if max(vals) - min(vals) > 1e-9:
             raise AssertionError(f"workers disagree on {key}: {vals}")
