@@ -24,6 +24,20 @@ sup() { python tools/supervise_resume.py --retries 3 -- "$@"; }
 PALLAS_AXON_POOL_IPS= python tools/ensure_corpus.py \
   >> runs/ensure_corpus.log 2>&1 || { echo "CORPUS check failed"; exit 1; }
 
+# -- 0. enrollment-quality bound ------------------------------------
+# Self-enrollment ON spk_v3 (the round-3 leaked protocol, same model):
+# if babble(self) >> babble(separate), the enrollment EXTRACTION is
+# the bottleneck; if ~equal, the identity signal itself is the limit.
+python predict.py ./config_spk_v3.yaml TemporalCRN_spk \
+  --user_defined_name spk_v3 --num_items 100 --snr_low -5 --snr_high 5 \
+  --enroll_mode self --out_json runs/eval_spk_v3_selfenroll.json \
+  > runs/eval_spk_v3_selfenroll.log 2>&1
+echo "SPK_V3_SELFENROLL rc=$?"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/analyze_eval.py \
+  runs/eval_spk_v3_selfenroll.json --config ./config_parity_v3.yaml \
+  --csv_dir data_v3 > runs/analyze_spk_v3_selfenroll.log 2>&1
+echo "ANALYZE_SELFENROLL rc=$?"
+
 # -- 1. N=300 evals --------------------------------------------------
 python predict.py ./config_ext.yaml TemporalCRN \
   --user_defined_name parity_ext --num_items 300 \
