@@ -24,6 +24,13 @@ SHRINK = {
                           "num_layers": 1},
     "Complex_TemporalCRN": {"num_channels": [4, 8], "hidden": 16,
                             "num_layers": 1},
+    "TemporalCRN_dir": {"num_channels": [4, 8], "hidden": 16,
+                        "num_layers": 1},
+    "TemporalCRN_spk": {"num_channels": [4, 8], "hidden": 16,
+                        "num_layers": 1, "spk_dim": 8,
+                        "enroll_len": 3200},
+    "TemporalCRN_v1": {"num_channels": [4, 8], "hidden": 16,
+                       "num_layers": 1},
 }
 
 
@@ -34,6 +41,11 @@ def test_model_from_config_streams(name):
     model = build_model(name, section)
     params = model.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3200)) * 0.1
+    if getattr(model, "wants_enroll", False):
+        # speaker-conditioned families take mics + 1 enrollment channel
+        # (appended by the fused engine / predict.py in production)
+        enr = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 3200)) * 0.1
+        x = jnp.concatenate([x, enr], axis=1)
 
     y, state = model.realtime_process(params, None, x, flag=False)
     assert y.shape == (1, 3200)
