@@ -34,25 +34,32 @@ def forward_flops(fn, *args) -> float | None:
     """Analytic FLOPs of one call of ``fn(*args)`` via HLO cost analysis.
 
     Tries the lowered (unoptimized) module first — pure client-side —
-    and falls back to the compiled executable's analysis. Returns None
-    when neither is available (caller should report mfu as null rather
-    than fabricate)."""
-    try:
-        lowered = jax.jit(fn).lower(*args)
-    except Exception:
-        return None
-    for obj in (lowered, None):
+    then the compiled executable's analysis, then a CPU-backend
+    lowering (the count is backend-independent and the CPU client is
+    always local, unlike the relay-backed TPU). Returns None when none
+    are available (caller should report mfu as null rather than
+    fabricate)."""
+    def attempt(make_ca):
         try:
-            ca = lowered.cost_analysis() if obj is lowered else \
-                lowered.compile().cost_analysis()
+            ca = make_ca()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             f = float(ca.get("flops", 0.0))
-            if f > 0:
-                return f
+            return f if f > 0 else None
         except Exception:
-            continue
-    return None
+            return None
+
+    try:
+        lowered = jax.jit(fn).lower(*args)
+    except Exception:
+        lowered = None
+    if lowered is not None:
+        f = attempt(lowered.cost_analysis) or \
+            attempt(lambda: lowered.compile().cost_analysis())
+        if f:
+            return f
+    return attempt(lambda: jax.jit(fn, backend="cpu").lower(*args)
+                   .cost_analysis())
 
 
 def mfu(flops: float | None, seconds: float,
