@@ -8,7 +8,7 @@ from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.complex_crn import ComplexTemporalCRN
 from semi_tpu.models.crn import (TemporalCRN, TemporalCRNDirectional,
-                                 TemporalCRNSpk, TemporalCRNv1)
+                                 TemporalCRNSpk, TemporalCRNSpkDeep, TemporalCRNv1)
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
 
@@ -26,6 +26,10 @@ MODEL_REGISTRY: dict[str, type] = {
     # route to the babble gap after the directional ceiling ruled out
     # spatial cues (docs/BENCHMARKS.md "Directional-oracle ceiling")
     "TemporalCRN_spk": TemporalCRNSpk,
+    # deep-FiLM conditioning: identity modulates every encoder stage
+    # (the round-4 enrollment-quality bound located the constraint in
+    # conditioning capacity, not enrollment extraction)
+    "TemporalCRN_spk_deep": TemporalCRNSpkDeep,
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,

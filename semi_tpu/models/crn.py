@@ -23,7 +23,7 @@ from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 
 __all__ = ["TemporalCRN", "TemporalCRNv1", "TemporalCRNDirectional",
-           "TemporalCRNSpk"]
+           "TemporalCRNSpk", "TemporalCRNSpkDeep"]
 
 EPS = 1e-8  # reference CRN.py:11
 
@@ -128,6 +128,14 @@ class TemporalCRN(StreamingModel):
         Identity here; conditioned variants (TemporalCRNSpk) override."""
         return h
 
+    def encoder_post(self, params, state, idx, h):
+        """Hook after encoder conv stage ``idx``; ``h`` is
+        ``[B, C, F, T]`` (scan) or ``[N, B, C, F, T]`` (stacked).
+        Runs BEFORE the stage's residual is recorded, so the decoder
+        skip path sees the modulated features too. Identity here;
+        deep-conditioned variants (TemporalCRNSpkDeep) override."""
+        return h
+
     def forward(self, params, state, x):
         # x: [B, M, F, T, 2]
         noisy = x[:, 0]  # [B, F, T, 2]
@@ -142,8 +150,10 @@ class TemporalCRN(StreamingModel):
 
         residuals = [h]
         new_enc = []
-        for m, p, st in zip(self.convs, params["convs"], state["convs"]):
+        for i, (m, p, st) in enumerate(zip(self.convs, params["convs"],
+                                           state["convs"])):
             h, st2 = m.apply(p, st, h)
+            h = self.encoder_post(params, state, i, h)
             residuals.append(h)
             new_enc.append(st2)
 
@@ -192,8 +202,10 @@ class TemporalCRN(StreamingModel):
 
         residuals = [h]
         new_enc = []
-        for mod, p, st in zip(self.convs, params["convs"], state["convs"]):
+        for i, (mod, p, st) in enumerate(zip(self.convs, params["convs"],
+                                             state["convs"])):
             h, st2 = mod.apply_stacked(p, st, h)
+            h = self.encoder_post(params, state, i, h)
             residuals.append(h)
             new_enc.append(st2)
 
@@ -281,8 +293,10 @@ class TemporalCRN(StreamingModel):
         new_enc = []
         feats = []
         ft = None
-        for m, p, st in zip(self.convs, params["convs"], state["convs"]):
+        for i, (m, p, st) in enumerate(zip(self.convs, params["convs"],
+                                           state["convs"])):
             h, st2, ft = m.apply(p, st, h, return_feature=True)
+            h = self.encoder_post(params, state, i, h)
             residuals.append(h)
             new_enc.append(st2)
         feats.append(ft)  # only the LAST encoder tap (distillation_crn.py:352-358)
@@ -335,8 +349,10 @@ class TemporalCRN(StreamingModel):
         new_enc = []
         feats = []
         ft = None
-        for mod, p, st in zip(self.convs, params["convs"], state["convs"]):
+        for i, (mod, p, st) in enumerate(zip(self.convs, params["convs"],
+                                             state["convs"])):
             h, st2, ft = mod.apply_stacked(p, st, h, return_feature=True)
+            h = self.encoder_post(params, state, i, h)
             residuals.append(h)
             new_enc.append(st2)
         feats.append(ft)  # last encoder tap only (distillation_crn.py:352-358)
@@ -680,3 +696,42 @@ class TemporalCRNSpk(TemporalCRN):
         preds, state = self.forward_stacked(params, state, x)
         wav = self.postprocessing(preds, gap)
         return wav, state
+
+
+class TemporalCRNSpkDeep(TemporalCRNSpk):
+    """Deep-FiLM speaker conditioning: modulate EVERY encoder stage.
+
+    Round-4 measured motivation (docs/BENCHMARKS.md "Enrollment-quality
+    bound"): with separate-utterance enrollment the babble row reaches
+    +1.14 dB and SELF-enrollment does no better (+0.95) — the
+    enrollment ENCODER already extracts the full identity signal, so
+    the binding constraint is how much of the network the identity can
+    steer. TemporalCRNSpk injects one zero-init FiLM at the bottleneck;
+    this variant ADDS per-channel zero-init FiLM after every encoder
+    conv stage (before the residual is recorded, so the decoder's
+    gated-skip path is modulated too — see TemporalCRN.encoder_post).
+    Zero-init keeps warm-start identity with the unconditioned
+    flagship, exactly like the bottleneck table.
+    """
+
+    def init(self, key):
+        base = super().init(key)
+        base["spk"]["film_enc"] = [
+            {"g": jnp.zeros((self.spk_dim, m.n_outputs)),
+             "b": jnp.zeros((self.spk_dim, m.n_outputs))}
+            for m in self.convs
+        ]
+        return base
+
+    def encoder_post(self, params, state, idx, h):
+        p = params["spk"]["film_enc"][idx]
+        e = state["spk"]                                  # [B, spk_dim] f32
+        gamma = 1.0 + e @ p["g"].astype(jnp.float32)      # [B, C]
+        beta = e @ p["b"].astype(jnp.float32)
+        if h.ndim == 5:  # stacked [N, B, C, F, T]
+            gamma = gamma[None, :, :, None, None]
+            beta = beta[None, :, :, None, None]
+        else:            # scan [B, C, F, T]
+            gamma = gamma[:, :, None, None]
+            beta = beta[:, :, None, None]
+        return h * gamma.astype(h.dtype) + beta.astype(h.dtype)

@@ -269,3 +269,46 @@ def test_predict_eval_enroll_modes_end_to_end(v3_corpus, tmp_path):
     na = outs["separate"]["items"][0]["noisy"]["sisdr"]
     nb = outs["nontarget"]["items"][0]["noisy"]["sisdr"]
     assert na == nb
+
+
+def test_spk_deep_zero_init_is_flagship_and_conditioning_is_live():
+    """TemporalCRNSpkDeep: zero-init deep FiLM reproduces the
+    unconditioned flagship exactly (warm-start identity), the stacked
+    and scan runtimes agree, and non-zero encoder tables actually
+    change the output (the hook is wired in both paths)."""
+    import jax.numpy as jnp
+
+    from semi_tpu.models.crn import TemporalCRN, TemporalCRNSpkDeep
+
+    kw = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+              segment_length=3200, num_layers=1, num_inputs=3,
+              kernel_size=3)
+    flag = TemporalCRN(**kw)
+    deep = TemporalCRNSpkDeep(spk_dim=8, enroll_len=3200, **kw)
+    fparams = flag.init(jax.random.PRNGKey(0))
+    dparams = deep.init(jax.random.PRNGKey(0))
+    # the non-spk subtrees share the init chain
+    mics = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+    enr = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 6400)) * 0.1
+    mix = jnp.concatenate([mics, enr], axis=1)
+
+    y_flag, _ = flag.realtime_process(fparams, None, mics, flag=False)
+    y_deep, _ = deep.realtime_process(dparams, None, mix, flag=False)
+    np.testing.assert_allclose(np.asarray(y_flag), np.asarray(y_deep),
+                               atol=1e-5)
+
+    # scan == stacked for the deep variant
+    y_scan, _ = deep.realtime_process_scan(dparams, None, mix, flag=False)
+    np.testing.assert_allclose(np.asarray(y_deep), np.asarray(y_scan),
+                               atol=1e-4)
+
+    # non-zero encoder FiLM changes the output in BOTH runtimes
+    live = jax.tree_util.tree_map(lambda x: x, dparams)
+    live["spk"]["film_enc"] = [
+        {"g": t["g"] + 0.3, "b": t["b"] + 0.05}
+        for t in dparams["spk"]["film_enc"]]
+    y_live, _ = deep.realtime_process(live, None, mix, flag=False)
+    y_live_scan, _ = deep.realtime_process_scan(live, None, mix, flag=False)
+    assert np.abs(np.asarray(y_live) - np.asarray(y_deep)).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(y_live), np.asarray(y_live_scan),
+                               atol=1e-4)

@@ -29,6 +29,9 @@ SHRINK = {
     "TemporalCRN_spk": {"num_channels": [4, 8], "hidden": 16,
                         "num_layers": 1, "spk_dim": 8,
                         "enroll_len": 3200},
+    "TemporalCRN_spk_deep": {"num_channels": [4, 8], "hidden": 16,
+                             "num_layers": 1, "spk_dim": 8,
+                             "enroll_len": 3200},
     "TemporalCRN_v1": {"num_channels": [4, 8], "hidden": 16,
                        "num_layers": 1},
 }
