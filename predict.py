@@ -86,7 +86,10 @@ def evaluate_streaming(run, params, config, model_name: str, ckpt: str,
                 chan[0, 0, :el] = src[end - el:end]
             else:
                 enr = dataset.enroll_for_item(i, enroll_mode, enroll_len)
-                chan[0, 0, :enroll_len] = enr
+                # ADVICE r4: clamp like the self branch — a test piece
+                # shorter than enroll_len must not broadcast-error
+                el = min(enroll_len, mix.shape[-1])
+                chan[0, 0, :el] = enr[:el]
             mix = jnp.concatenate([mix, jnp.asarray(chan)], axis=1)
 
         # first occurrence of a length compiles; exclude it from RTF

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -157,6 +158,7 @@ class LibriPartyDataset:
         self.all_csv = self._load_manifests(config.get("dataset", {}))
         self.buffer: list = []
         self.epoch = 0
+        self._singleton_warned: set = set()
         self._wav_cache: dict = {}
         self.cache_max_files = config["config"].get("wav_cache_files", 8000)
 
@@ -228,6 +230,19 @@ class LibriPartyDataset:
         sibs = self._spk_siblings(self.dataset)[spk[target_idx]]
         cands = sibs[sibs != target_idx]
         if len(cands) == 0:
+            # ADVICE r4: the target utterance AS its own enrollment is
+            # stronger leakage than self-enrollment — never let a
+            # filtered/edited manifest silently violate the zero-leakage
+            # property the separate mode promises. Warn loudly, once per
+            # speaker, and fall back.
+            key = (self.dataset, spk[target_idx])
+            if key not in self._singleton_warned:
+                self._singleton_warned.add(key)
+                warnings.warn(
+                    f"enroll_mode=separate: speaker {spk[target_idx]!r} in "
+                    f"split {self.dataset!r} has a single utterance — "
+                    "falling back to the target itself as enrollment "
+                    "(TARGET LEAKAGE for this item)", stacklevel=2)
             return int(target_idx)
         return int(cands[int(rng.integers(len(cands)))])
 
@@ -468,7 +483,15 @@ class LibriPartyDataset:
             out[:n] = self._last_enroll[:n]
             return out
         assert mode == "nontarget", mode
-        spk = self.all_csv[self.dataset]["clean_spk"]
+        # ADVICE r4: fail with a clear message (not an unguarded
+        # KeyError / infinite rejection loop) when the manifest can't
+        # support the negative control
+        spk = self.all_csv[self.dataset].get("clean_spk")
+        assert spk is not None, (
+            "nontarget enrollment needs a spk-keyed manifest "
+            "(clean CSV with a spk column)")
+        assert len(set(spk)) >= 2, (
+            "nontarget enrollment needs >= 2 speakers in the manifest")
         tgt = self._last_clean_idx[0]
         rng = np.random.default_rng(np.random.SeedSequence(
             [self.seed, self.epoch, index, 0xE960]))

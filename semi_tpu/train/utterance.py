@@ -189,6 +189,7 @@ def make_utterance_train_step(model, dataset, k_batches: int,
     lead = model.segment_length // 2
     snr = (float(dataset.snr_low), float(dataset.snr_high))
     mix_len = dataset.mix_len
+    ds_enroll_len = dataset.enroll_len
 
     def one_batch(ts: TrainState, batch_k, enroll=None):
         mix, target, length = _mixed_batch(model, mixer, lead, snr, batch_k,
@@ -246,7 +247,12 @@ def make_utterance_train_step(model, dataset, k_batches: int,
         def body(t, meta):
             clean, noise = _gather_inputs(corpus_clean, corpus_noise,
                                           meta, mix_len)
-            enroll = corpus_clean[meta["enroll_idx"]] \
+            # ADVICE r4: slice the gather to dataset.enroll_len so the
+            # corpus path matches the array path's [k,b,enroll_len]
+            # buffer exactly (a model with enroll_len > dataset's would
+            # otherwise see full-mix_len rows here but zero-padded audio
+            # there, breaking the pinned array/meta equivalence)
+            enroll = corpus_clean[meta["enroll_idx"]][..., :ds_enroll_len] \
                 if "enroll_idx" in meta else None
             return one_batch(t, (clean, noise, meta["key"],
                                  meta["utt_len"]), enroll=enroll)
@@ -264,6 +270,7 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
     lead = model.segment_length // 2
     snr = (float(dataset.snr_low), float(dataset.snr_high))
     mix_len = dataset.mix_len
+    ds_enroll_len = dataset.enroll_len
 
     def one_batch(params, batch_k, enroll=None):
         from semi_tpu.metrics.losses import stoi_loss
@@ -294,7 +301,9 @@ def make_utterance_eval_step(model, dataset, use_corpus: bool = False):
         def body(c, meta):
             clean, noise = _gather_inputs(corpus_clean, corpus_noise,
                                           meta, mix_len)
-            enroll = corpus_clean[meta["enroll_idx"]] \
+            # ADVICE r4: match the array path's enroll_len truncation
+            # (see make_utterance_step.step_corpus)
+            enroll = corpus_clean[meta["enroll_idx"]][..., :ds_enroll_len] \
                 if "enroll_idx" in meta else None
             return c, one_batch(params, (clean, noise, meta["key"],
                                          meta["utt_len"]), enroll=enroll)

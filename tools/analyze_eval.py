@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--snr_low", type=float, default=None,
                     help="default: the artifact's pinned test_snr")
     ap.add_argument("--snr_high", type=float, default=None)
+    ap.add_argument("--absolute", action="store_true",
+                    help="also print ABSOLUTE enhanced scores per "
+                         "subset (overall / non-babble / babble) for "
+                         "the side-by-side vs reference README.md:56")
     args = ap.parse_args()
 
     from semi_tpu.utils.config import load_config
@@ -151,6 +155,38 @@ def main():
             continue
         print(f"  {k:8s} n={len(a):3d}  dSI-SDR {a[:, 0].mean():6.2f}  "
               f"dSTOI {a[:, 1].mean():+.4f}  dPESQ {a[:, 2].mean():+.3f}")
+
+    if args.absolute:
+        # VERDICT r4 next #7: ABSOLUTE enhanced scores (not deltas), to
+        # read directly against the reference's published test table
+        # (README.md:56 — SISDR 20.52 / STOI 0.9244 / PESQ 2.7129 on
+        # its recorded-Chinese+DNS corpus). Subsets: overall, babble,
+        # and non-babble (the masker classes matching the reference's
+        # DNS-style inventory; babble is the known identity-capacity
+        # failure mode, docs/BENCHMARKS.md).
+        subsets = {
+            "overall": KINDS,
+            "non-babble": tuple(k for k in KINDS if k != "babble"),
+            "babble": ("babble",),
+        }
+        abs_groups: dict = {k: [] for k in KINDS}
+        for row, idx in zip(art["items"], idxs):
+            d, b = row["enhanced"], row["noisy"]
+            abs_groups[noise_kind(idx, version=version)].append(
+                (d["sisdr"], d["stoi"], d["pesq"], d.get("npesq", np.nan),
+                 b["sisdr"], b["stoi"], b["pesq"]))
+        print("  -- absolute enhanced scores "
+              "(reference README.md:56: 20.52 / 0.9244 / 2.7129) --")
+        for name, kinds in subsets.items():
+            a = np.array(sum((abs_groups[k] for k in kinds), []))
+            if not len(a):
+                continue
+            print(f"  {name:10s} n={len(a):3d}  "
+                  f"SI-SDR {a[:, 0].mean():6.2f}  "
+                  f"STOI {a[:, 1].mean():.4f}  "
+                  f"PESQ {a[:, 2].mean():.4f}  "
+                  f"(noisy: {a[:, 4].mean():5.2f} / "
+                  f"{a[:, 5].mean():.4f} / {a[:, 6].mean():.4f})")
 
 
 if __name__ == "__main__":

@@ -37,15 +37,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="./config_spk.yaml")
     ap.add_argument("--src", default="./modules/denoise/parity_r3",
-                    help="flagship checkpoint dir (TemporalCRN.npz)")
+                    help="source checkpoint dir (<src_model>.npz)")
     ap.add_argument("--dst", default="./modules/denoise/spk_r3")
+    ap.add_argument("--model", default="TemporalCRN_spk",
+                    help="destination model registry name")
+    ap.add_argument("--src_model", default="TemporalCRN",
+                    help="source model registry name (its npz is merged; "
+                    "identity is checked against it). E.g. build "
+                    "TemporalCRN_spk_deep from a trained TemporalCRN_spk: "
+                    "the deep variant's film_enc tables are zero-init, so "
+                    "the merge is function-identical to the source.")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
-    spk = build_model("TemporalCRN_spk", cfg["TemporalCRN_spk"])
+    spk = build_model(args.model, cfg[args.model])
     params = spk.init(jax.random.PRNGKey(cfg["config"]["seed"]))
 
-    src_npz = os.path.join(args.src, "TemporalCRN.npz")
+    src_npz = os.path.join(args.src, args.src_model + ".npz")
     data = np.load(src_npz)
     merged, fresh = 0, []
     paths, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -67,8 +75,8 @@ def main():
     assert merged == len(data.files), "flagship leaves left unconsumed"
 
     # functional-identity check: zero-init FiLM must make the merged spk
-    # model reproduce the flagship exactly on the mic channels
-    flag = build_model("TemporalCRN", cfg["TemporalCRN"])
+    # model reproduce the source model exactly
+    flag = build_model(args.src_model, cfg[args.src_model])
     fparams = jax.tree_util.tree_map(
         jnp.asarray, load_pytree(src_npz, flag.init(jax.random.PRNGKey(0))))
     key = jax.random.PRNGKey(1)
@@ -76,11 +84,12 @@ def main():
     enroll = jax.random.normal(jax.random.fold_in(key, 1),
                                (1, 1, 16000)) * 0.05
     mix = jnp.concatenate([mics, enroll], axis=1)
-    y_flag, _ = flag.realtime_process(fparams, None, mics, False)
+    src_in = mix if getattr(flag, "wants_enroll", False) else mics
+    y_flag, _ = flag.realtime_process(fparams, None, src_in, False)
     y_spk, _ = spk.realtime_process(out, None, mix, False)
     err = float(jnp.max(jnp.abs(y_flag - y_spk)))
-    print(f"identity check: max|flagship - spk_warmstart| = {err:.3e}")
-    assert err < 1e-5, "zero-init FiLM did not reproduce the flagship"
+    print(f"identity check: max|{args.src_model} - warmstart| = {err:.3e}")
+    assert err < 1e-5, "zero-init FiLM did not reproduce the source model"
 
     os.makedirs(args.dst, exist_ok=True)
     # ADVICE r3 (medium): a stale fine-tune optimizer.npz / mid-epoch
@@ -92,7 +101,7 @@ def main():
         if os.path.exists(p):
             os.remove(p)
             print(f"removed stale {stale} from {args.dst}")
-    save_pytree(os.path.join(args.dst, "TemporalCRN_spk.npz"), out)
+    save_pytree(os.path.join(args.dst, args.model + ".npz"), out)
     # counters copied verbatim: epoch plan continues 48 -> num_epoch;
     # reset_best_dev in the config re-arms the gate at first dev epoch
     shutil.copy(os.path.join(args.src, "Epoch.json"),
