@@ -40,6 +40,11 @@ def main():
         # GRU chain is weight-bandwidth-bound, so halving weight bytes
         # buys measured xRT (1143x f32 -> 1198x bf16 on one v5e core)
         compute_dtype=os.environ.get("SEMI_BENCH_DTYPE", "bfloat16"),
+        # bf16 END-TO-END (VERDICT r4 next #4): the DFT matmuls run
+        # bf16 too, so every matmul in the inference program is bf16.
+        # Quality parity vs the f32 STFT is measured (paired eval
+        # artifact runs/eval_bf16_stft*, docs/BENCHMARKS.md).
+        stft_dtype=os.environ.get("SEMI_BENCH_STFT_DTYPE", "bfloat16"),
     )
     params = model.init(jax.random.PRNGKey(0))
     # SEMI_BENCH_QUANT=int8: weights live int8-resident in HBM and the
@@ -102,6 +107,37 @@ def main():
         params, x1)
     util = mfu(flops, per_iter, dtype=("int8" if quant else
                                        str(model.cdtype)))
+
+    # serving MFU (VERDICT r4 next #4): one batched measurement at the
+    # serving operating point — B independent 3 s streams through the
+    # same program. Executes the roofline conclusion of
+    # docs/BENCHMARKS.md "MFU accounting" (single-stream is
+    # latency-bound; the batch dimension is the recovery lever). The
+    # full curve lives in benchmarks/throughput.py.
+    serve_b = int(os.environ.get("SEMI_BENCH_SERVE_B", "64"))
+
+    def make_serving(k):
+        xs = jax.random.normal(jax.random.PRNGKey(3),
+                               (k, serve_b, 3, length)) * 0.1
+
+        @jax.jit
+        def run(params):
+            def body(acc, x):
+                p = dequantize_tree(params) if quant else params
+                y, _ = model.realtime_process(p, None, x, flag=False)
+                return acc + jnp.sum(y), None
+            total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+            return total
+
+        return run
+
+    sk1, sk2 = 2, 8
+    st1 = timed(make_serving(sk1))
+    st2 = timed(make_serving(sk2))
+    serve_iter = max((st2 - st1) / (sk2 - sk1), 1e-9)
+    serve_mfu = mfu(flops * serve_b, serve_iter,
+                    dtype=("int8" if quant else str(model.cdtype)))
+
     print(json.dumps({
         "metric": "streaming_xRT_temporal_crn_3s",
         "value": round(xrt, 2),
@@ -109,6 +145,9 @@ def main():
         "vs_baseline": round(xrt / REF_XRT, 2),
         "flops_per_3s_utt": flops,
         "mfu": round(util, 6) if util is not None else None,
+        "serving_batch": serve_b,
+        "serving_audio_s_per_s": round(serve_b * seconds / serve_iter, 1),
+        "serving_mfu": round(serve_mfu, 6) if serve_mfu is not None else None,
     }))
 
 

@@ -181,7 +181,7 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
             profile_dir: str | None = None, dump_dir: str | None = None,
             out_json: str | None = None, quantize: bool = False,
             snr_low: float = 0.0, snr_high: float = 25.0,
-            enroll_mode: str = "self"):
+            enroll_mode: str = "self", stft_dtype: str | None = None):
     config = load_config(config_path)
     from semi_tpu.models import MODEL_REGISTRY
 
@@ -197,6 +197,12 @@ def predict(config_path: str, model_name: str, user_defined_name: str,
     # RNN serving.
     section = dict(config[model_name])
     model = build_model(model_name, section)
+    if stft_dtype:
+        # bf16 end-to-end inference (VERDICT r4 next #4): DFT matmuls
+        # at this dtype; quality parity measured by the paired
+        # runs/eval_bf16_stft* artifacts, not assumed
+        import jax.numpy as _jnp
+        model.stft_dtype = _jnp.dtype(stft_dtype)
     params = model.init(jax.random.PRNGKey(0))
 
     ckpt = weights or os.path.join(
@@ -265,6 +271,10 @@ if __name__ == "__main__":
                         help="Test-split mixing SNR low bound (dB)")
     parser.add_argument("--snr_high", default=25.0, type=float,
                         help="Test-split mixing SNR high bound (dB)")
+    parser.add_argument("--stft_dtype", default=None, type=str,
+                        choices=(None, "bfloat16", "float32"),
+                        help="run the DFT matmuls at this dtype "
+                             "(bfloat16 = fully-bf16 inference program)")
     parser.add_argument("--enroll_mode", default="self", type=str,
                         choices=("self", "separate", "nontarget"),
                         help="speaker-conditioned families: enrollment "
@@ -277,4 +287,4 @@ if __name__ == "__main__":
             profile_dir=args.profile_dir, dump_dir=args.dump_dir,
             out_json=args.out_json, quantize=args.quantize,
             snr_low=args.snr_low, snr_high=args.snr_high,
-            enroll_mode=args.enroll_mode)
+            enroll_mode=args.enroll_mode, stft_dtype=args.stft_dtype)

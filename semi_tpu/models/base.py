@@ -73,6 +73,13 @@ class StreamingModel:
         # network compute dtype (subclasses may set bf16; STFT, mask
         # apply, and losses stay f32 regardless)
         self.cdtype = jnp.dtype(jnp.float32)
+        # round-5 (VERDICT r4 next #4): optional bf16 END-TO-END
+        # inference — the DFT matmuls themselves run at this dtype, so
+        # with bf16 network compute every matmul in the program is
+        # bf16. None = follow the input dtype (f32 path, default;
+        # training always uses it). Quality parity is measured, not
+        # assumed: runs/eval_bf16_stft (paired vs f32 STFT).
+        self.stft_dtype = None
 
     # -- subclass API -------------------------------------------------
     def init(self, key):
@@ -92,6 +99,8 @@ class StreamingModel:
         """``[B, M, L]`` -> (``[N, B, M, F, T, 2]`` chunk spectra, gap)."""
         b = mixture.shape[0]
         chunks, gap = segmentation(mixture, self.segment_length)  # [B*N, M, K]
+        if self.stft_dtype is not None:
+            chunks = chunks.astype(self.stft_dtype)
         spec = stft(chunks, n_fft=self.stft_cfg.n_fft, hop=self.stft_cfg.hop)
         # [B*N, M, T, F, 2] -> [B*N, M, F, T, 2]
         spec = spec.transpose(0, 1, 3, 2, 4)
@@ -103,10 +112,13 @@ class StreamingModel:
         """``[N, B, F, T, 2]`` -> ``[B, L]`` via iSTFT + overlap-add."""
         n, b, f, t, _ = pred_spec.shape
         flat = pred_spec.reshape(n * b, f, t, 2).transpose(0, 2, 1, 3)  # [NB, T, F, 2]
+        if self.stft_dtype is not None:
+            flat = flat.astype(self.stft_dtype)
         wav = istft(flat, n_fft=self.stft_cfg.n_fft, hop=self.stft_cfg.hop,
                     length=self.segment_length)
         wav = wav.reshape(n, b, self.segment_length).transpose(1, 0, 2)
-        return over_add(wav, gap)
+        # waveform domain back to f32 (overlap-add, metrics, IO)
+        return over_add(wav.astype(jnp.float32), gap)
 
     # -- the streaming runtime ----------------------------------------
     def realtime_process(self, params, state, mixture: jax.Array, flag: bool = False):

@@ -33,9 +33,12 @@ class TemporalCRN(StreamingModel):
                  num_layers=1, num_inputs=3, kernel_size=3, dropout=0.0,
                  sample_rate=16000, win_length=25, hop_length=10, n_fft=400,
                  activation="ELU", remat=True, use_pallas_gru=False,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", stft_dtype=None):
         super().__init__(segment_length, num_freqs, sample_rate, win_length,
                          hop_length, n_fft, remat=remat)
+        # bf16 end-to-end inference (VERDICT r4 next #4): run the DFT
+        # matmuls at this dtype too; None keeps the f32 STFT (training)
+        self.stft_dtype = jnp.dtype(stft_dtype) if stft_dtype else None
         self.num_inputs = num_inputs
         # inference-only: fused full-sequence GRU kernel (no per-chunk
         # gradient truncation -> keep False for training)

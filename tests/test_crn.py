@@ -483,3 +483,29 @@ def test_crn_spk_registry_and_config():
         m = build_model("TemporalCRN_spk", cfg["TemporalCRN_spk"])
         assert m.wants_enroll and m.enroll_len == 32000
         assert m.feature_channels(3) == 5  # mic features unchanged
+
+
+def test_bf16_stft_pipeline_close_to_f32():
+    """Round-5 bf16 END-TO-END inference (stft_dtype=bfloat16): the DFT
+    matmuls run bf16 too, so every matmul in the program is bf16. Pin
+    (a) the output is f32 waveform, (b) it stays within bf16 numeric
+    noise of the f32-STFT pipeline (>=25 dB output SNR on random
+    weights — quality parity on trained weights is measured by the
+    runs/eval_bf16_stft* paired artifacts)."""
+    from semi_tpu.models.crn import TemporalCRN
+
+    kw = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+              segment_length=3200, num_layers=1, num_inputs=3,
+              kernel_size=3, remat=False, compute_dtype="bfloat16")
+    m = TemporalCRN(**kw)
+    mbf = TemporalCRN(**kw, stft_dtype="bfloat16")
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16000)) * 0.1
+    y, _ = m.realtime_process(params, None, x, flag=False)
+    ybf, _ = mbf.realtime_process(params, None, x, flag=False)
+    assert ybf.dtype == jnp.float32
+    assert ybf.shape == y.shape
+    err = float(jnp.sqrt(jnp.mean((y - ybf) ** 2)))
+    ref = float(jnp.sqrt(jnp.mean(y ** 2)))
+    snr_db = -20 * np.log10(err / (ref + 1e-12) + 1e-12)
+    assert snr_db >= 25.0, f"bf16 STFT pipeline SNR {snr_db:.1f} dB"

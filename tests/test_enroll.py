@@ -312,3 +312,89 @@ def test_spk_deep_zero_init_is_flagship_and_conditioning_is_live():
     assert np.abs(np.asarray(y_live) - np.asarray(y_deep)).max() > 1e-4
     np.testing.assert_allclose(np.asarray(y_live), np.asarray(y_live_scan),
                                atol=1e-4)
+
+
+def test_corpus_enroll_gather_respects_dataset_enroll_len(v3_corpus):
+    """ADVICE r4 #4: a model whose enroll_len EXCEEDS the dataset's must
+    see the SAME (zero-padded) enrollment in both sampler paths. Before
+    the fix the corpus path gathered full mix_len rows — real audio
+    where the array path had zeros — so the fused losses diverged."""
+    from semi_tpu.data.dataset import LibriPartyDataset
+    from semi_tpu.models.crn import TemporalCRNSpk
+    from semi_tpu.train.step import init_train_state
+    from semi_tpu.train.utterance import (
+        DeviceCorpus, UtteranceBatchSampler, UtteranceMetaSampler,
+        make_utterance_train_step)
+
+    cfg = _v3_config(v3_corpus)
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(0)
+    assert ds.enroll_len == 16000
+    m = TemporalCRNSpk(spk_dim=8, enroll_len=24000,   # > dataset's
+                       **{k: v for k, v in cfg["TemporalCRN"].items()})
+    params = m.init(jax.random.PRNGKey(0))
+    ts = init_train_state(params, lr=3e-4)
+
+    s_arr = UtteranceBatchSampler(ds, batch=2, k_batches=1)
+    try:
+        inputs = s_arr.next_batch()
+    finally:
+        s_arr.close()
+    step = jax.jit(make_utterance_train_step(m, ds, k_batches=1))
+    _, ms = step(ts, inputs)
+
+    corpus = DeviceCorpus(ds)
+    s_meta = UtteranceMetaSampler(ds, corpus, batch=2, k_batches=1)
+    try:
+        meta = s_meta.next_batch()
+    finally:
+        s_meta.close()
+    stepc = jax.jit(make_utterance_train_step(m, ds, k_batches=1,
+                                              use_corpus=True))
+    _, msc = stepc(ts, corpus.clean, corpus.noise, meta)
+    np.testing.assert_allclose(np.asarray(ms["loss"]),
+                               np.asarray(msc["loss"]), atol=2e-3)
+
+
+def test_nontarget_requires_spk_keyed_manifest(v3_corpus):
+    """ADVICE r4 #3: nontarget mode on a spk-less manifest must fail
+    with a clear assertion, not an unguarded KeyError/infinite loop."""
+    import pytest
+
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    cfg = _v3_config(v3_corpus)
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("test", augment=False)
+    ds.init_seed(0)
+    _ = ds[0]
+    # drop the spk column view -> clear assertion
+    ds.all_csv["test"] = {k: v for k, v in ds.all_csv["test"].items()
+                          if k != "clean_spk"}
+    with pytest.raises(AssertionError, match="spk-keyed"):
+        ds.enroll_for_item(0, "nontarget", 8000)
+
+
+def test_singleton_speaker_fallback_warns(v3_corpus):
+    """ADVICE r4 #1: separate-mode fallback to the target utterance
+    (singleton speaker) must WARN — silent target leakage is the bug."""
+    import warnings as _warnings
+
+    from semi_tpu.data.dataset import LibriPartyDataset
+
+    cfg = _v3_config(v3_corpus)
+    ds = LibriPartyDataset(cfg)
+    ds.set_attribute("train", augment=False)
+    ds.init_seed(0)
+    # make every speaker a singleton by renaming speakers uniquely
+    n = len(ds.all_csv["train"]["clean_spk"])
+    ds.all_csv["train"]["clean_spk"] = [f"solo_{i}" for i in range(n)]
+    ds._spk_groups = {}
+    rng = np.random.default_rng(0)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        idx = ds._draw_enroll_idx(rng, 0)
+    assert idx == 0
+    assert any("single utterance" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]

@@ -106,7 +106,7 @@ def item_noise_indices(config, n: int, snr_low: float, snr_high: float):
         noise = [p for p in reads if "noise" in os.path.basename(p)]
         if not noise:  # synthetic fallback corpus: no manifest on disk
             raise SystemExit("no noise file read — corpus manifests absent")
-        out.append(int(noise[-1].rsplit("_", 1)[-1].split(".")[0]))
+        out.append(noise[-1])
     return out
 
 
@@ -124,6 +124,10 @@ def main():
                     help="also print ABSOLUTE enhanced scores per "
                          "subset (overall / non-babble / babble) for "
                          "the side-by-side vs reference README.md:56")
+    ap.add_argument("--kind_from_name", action="store_true",
+                    help="OOD corpus: masker kind is embedded in the "
+                         "noise FILENAME (test_noise_<kind>_NNNNN.wav) "
+                         "— no rng replay / fingerprint check needed")
     args = ap.parse_args()
 
     from semi_tpu.utils.config import load_config
@@ -135,21 +139,32 @@ def main():
         f"protocol mismatch: artifact pinned {art['test_snr']}, got {[lo, hi]}")
 
     config = load_config(args.config)
-    version = json.load(open(os.path.join(
-        args.csv_dir, "corpus_fingerprint.json"))).get("version", 2)
-    idxs = item_noise_indices(config, len(art["items"]), lo, hi)
-    check_replay_against_fingerprint(idxs[0], csv_dir=args.csv_dir)
+    paths = item_noise_indices(config, len(art["items"]), lo, hi)
+    if args.kind_from_name:
+        # OOD corpus: kind is the filename token, crowd == babble-class
+        kinds = tuple(sorted({os.path.basename(p).split("_")[2]
+                              for p in paths}))
+        item_kinds = [os.path.basename(p).split("_")[2] for p in paths]
+        babble_kind = "crowd"
+    else:
+        version = json.load(open(os.path.join(
+            args.csv_dir, "corpus_fingerprint.json"))).get("version", 2)
+        idxs = [int(p.rsplit("_", 1)[-1].split(".")[0]) for p in paths]
+        check_replay_against_fingerprint(idxs[0], csv_dir=args.csv_dir)
+        kinds = KINDS
+        item_kinds = [noise_kind(i, version=version) for i in idxs]
+        babble_kind = "babble"
 
-    groups: dict = {k: [] for k in KINDS}
-    for row, idx in zip(art["items"], idxs):
+    groups: dict = {k: [] for k in kinds}
+    for row, k in zip(art["items"], item_kinds):
         d = row["enhanced"]
         b = row["noisy"]
-        groups[noise_kind(idx, version=version)].append(
+        groups[k].append(
             (d["sisdr"] - b["sisdr"], d["stoi"] - b["stoi"],
              d["pesq"] - b["pesq"]))
     print(f"{art['model']}  ({os.path.basename(args.artifact)}, "
           f"snr {lo}..{hi})")
-    for k in KINDS:
+    for k in kinds:
         a = np.array(groups[k])
         if not len(a):
             continue
@@ -165,14 +180,14 @@ def main():
         # DNS-style inventory; babble is the known identity-capacity
         # failure mode, docs/BENCHMARKS.md).
         subsets = {
-            "overall": KINDS,
-            "non-babble": tuple(k for k in KINDS if k != "babble"),
-            "babble": ("babble",),
+            "overall": kinds,
+            "non-babble": tuple(k for k in kinds if k != babble_kind),
+            "babble": (babble_kind,),
         }
-        abs_groups: dict = {k: [] for k in KINDS}
-        for row, idx in zip(art["items"], idxs):
+        abs_groups: dict = {k: [] for k in kinds}
+        for row, k in zip(art["items"], item_kinds):
             d, b = row["enhanced"], row["noisy"]
-            abs_groups[noise_kind(idx, version=version)].append(
+            abs_groups[k].append(
                 (d["sisdr"], d["stoi"], d["pesq"], d.get("npesq", np.nan),
                  b["sisdr"], b["stoi"], b["pesq"]))
         print("  -- absolute enhanced scores "

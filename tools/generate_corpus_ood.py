@@ -165,6 +165,11 @@ def _voiced_segment(rng, voice, dur, f0, vowel_a, vowel_b, nasal=False):
     if nasal:
         out, _ = _resonate(out, 280 * voice["fscale"], 60)
         out = _notch(out, 800 * voice["fscale"], 150)
+    # level calibration: the resonator cascade's (1-r)^3 passband gain
+    # leaves vowels ~50 dB under the single-resonator fricatives —
+    # normalize to unit RMS here and let the caller set relative phone
+    # levels (vowels loudest, as in real speech)
+    out = out / (np.sqrt((out ** 2).mean()) + 1e-9)
     env = np.ones(n)
     e = min(160, n // 4)
     env[:e] = np.linspace(0, 1, e)
@@ -178,11 +183,12 @@ def _fric_segment(rng, voice, dur):
     x = rng.standard_normal(n)
     y, _ = _resonate(x, min(7600, f * voice["fric_scale"]), bw)
     y = y - lfilter([1], [1, -0.9], y) * 0.6        # thin out the lows
+    y = y / (np.sqrt((y ** 2).mean()) + 1e-9)
     env = np.ones(n)
     e = min(240, n // 3)
     env[:e] = np.linspace(0, 1, e) ** 2
     env[-e:] = np.linspace(1, 0, e) ** 2
-    return y * env * 0.5
+    return y * env * 0.35                            # ~-9 dB vs vowels
 
 
 def _stop_segment(rng, voice):
@@ -192,9 +198,10 @@ def _stop_segment(rng, voice):
     burst = rng.standard_normal(nb) * np.exp(-np.arange(nb) / (0.2 * nb))
     f, bw = FRICS[int(rng.integers(len(FRICS)))]
     burst, _ = _resonate(burst, min(7600, f * voice["fric_scale"]), bw * 1.5)
+    burst = burst / (np.sqrt((burst ** 2).mean()) + 1e-9)
     na = int(rng.uniform(0.01, 0.04) * FS)
     asp = 0.3 * rng.standard_normal(na) * np.exp(-np.arange(na) / (0.5 * na))
-    return np.concatenate([clo, burst * 2.0, asp])
+    return np.concatenate([clo, burst * 0.8, asp])  # burst ~-2 dB vs vowels
 
 
 def synth_speech_ood(rng: np.random.Generator, length: int,
