@@ -116,20 +116,22 @@ def main():
     # full curve lives in benchmarks/throughput.py.
     serve_b = int(os.environ.get("SEMI_BENCH_SERVE_B", "64"))
 
+    # inputs passed as a runtime ARG, not a closure constant: baked
+    # constants ship with the program to the remote compile service,
+    # and at B=64 the 300 MB body trips its length limit (HTTP 413)
+    @jax.jit
+    def run_serving(params, xs):
+        def body(acc, x):
+            p = dequantize_tree(params) if quant else params
+            y, _ = model.realtime_process(p, None, x, flag=False)
+            return acc + jnp.sum(y), None
+        total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+        return total
+
     def make_serving(k):
-        xs = jax.random.normal(jax.random.PRNGKey(3),
-                               (k, serve_b, 3, length)) * 0.1
-
-        @jax.jit
-        def run(params):
-            def body(acc, x):
-                p = dequantize_tree(params) if quant else params
-                y, _ = model.realtime_process(p, None, x, flag=False)
-                return acc + jnp.sum(y), None
-            total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
-            return total
-
-        return run
+        xs = jax.device_put(jax.random.normal(
+            jax.random.PRNGKey(3), (k, serve_b, 3, length)) * 0.1)
+        return lambda p: run_serving(p, xs)
 
     sk1, sk2 = 2, 8
     st1 = timed(make_serving(sk1))

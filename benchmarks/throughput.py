@@ -47,19 +47,24 @@ def main():
         lambda p, x: model.realtime_process(p, None, x, flag=False)[0],
         params, x1)
 
+    # inputs passed as runtime ARGS, not closure constants: baked
+    # constants ship to the remote compile service and large batches
+    # trip its request-body limit (HTTP 413)
+    @jax.jit
+    def run_batch(p, xs):
+        def body(acc, x):
+            y, _ = model.realtime_process(p, None, x, flag=False)
+            return acc + jnp.sum(y), None
+        s, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+        return s
+
     for batch in (1, 4, 16, 32, 64, 128):
         def make(k):
-            xs = jax.random.normal(jax.random.PRNGKey(1),
-                                   (k, batch, 3, length)) * 0.1
-
-            @jax.jit
-            def run(p):
-                def body(acc, x):
-                    y, _ = model.realtime_process(p, None, x, flag=False)
-                    return acc + jnp.sum(y), None
-                s, _ = jax.lax.scan(body, jnp.zeros(()), xs)
-                return s
-            return run
+            xs = jax.device_put(
+                jax.random.normal(jax.random.PRNGKey(1),
+                                  (k, batch, 3, length),
+                                  dtype=jnp.float32) * 0.1)
+            return lambda p: run_batch(p, xs)
 
         def timed(run, reps=3):
             float(run(params))
