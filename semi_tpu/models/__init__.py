@@ -8,7 +8,8 @@ from semi_tpu.models.base import StreamingModel
 from semi_tpu.models.beamformer import GeneralBeamformer, MVDRBeamformer
 from semi_tpu.models.complex_crn import ComplexTemporalCRN
 from semi_tpu.models.crn import (TemporalCRN, TemporalCRNDirectional,
-                                 TemporalCRNSpk, TemporalCRNSpkDeep, TemporalCRNv1)
+                                 TemporalCRNSpk, TemporalCRNSpkDeep,
+                                 TemporalCRNSpkXAttn, TemporalCRNv1)
 from semi_tpu.models.fullsubnet import FullSubNet
 from semi_tpu.models.gtsa import GTSA
 
@@ -30,6 +31,12 @@ MODEL_REGISTRY: dict[str, type] = {
     # (the round-4 enrollment-quality bound located the constraint in
     # conditioning capacity, not enrollment extraction)
     "TemporalCRN_spk_deep": TemporalCRNSpkDeep,
+    # deep FiLM + bottleneck cross-attention to enrollment FRAMES: the
+    # round-5 lever against the remaining babble identity gap (pooled
+    # FiLM tops out at +1.79 dB vs the +39.7 dB cIRM oracle — the
+    # per-frame memory lets mixture frames match spectral exemplars of
+    # the target voice instead of one summary vector)
+    "TemporalCRN_spk_xattn": TemporalCRNSpkXAttn,
     "FullSubNet": FullSubNet,
     "GTSA": GTSA,
     "GeneralBeamformer": GeneralBeamformer,

@@ -23,7 +23,7 @@ from semi_tpu.models.base import StreamingModel
 from semi_tpu.ops.mask import complex_mul, decompress_cirm
 
 __all__ = ["TemporalCRN", "TemporalCRNv1", "TemporalCRNDirectional",
-           "TemporalCRNSpk", "TemporalCRNSpkDeep"]
+           "TemporalCRNSpk", "TemporalCRNSpkDeep", "TemporalCRNSpkXAttn"]
 
 EPS = 1e-8  # reference CRN.py:11
 
@@ -550,6 +550,10 @@ class TemporalCRNSpk(TemporalCRN):
     """
 
     wants_enroll = True
+    # state keys the enrollment attaches and every forward must carry
+    # through its scan/stacked step (variants extend: SpkXAttn adds the
+    # per-frame key/value tables)
+    enroll_state_keys = ("spk",)
 
     def __init__(self, *args, spk_dim=128, enroll_len=32000, **kwargs):
         super().__init__(*args, **kwargs)
@@ -599,6 +603,20 @@ class TemporalCRNSpk(TemporalCRN):
         e = h @ p["w2"].astype(jnp.float32) + p["b2"]
         return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
 
+    def enroll_state(self, params, e_wav):
+        """Enrollment waveform -> the state entries conditioning reads
+        (``enroll_state_keys``). One pooled embedding here; variants
+        with richer conditioning (cross-attention) extend the dict."""
+        return {"spk": self.encode_enroll(params, e_wav)}
+
+    def _carry_enroll(self, state, st):
+        """Copy the enrollment entries (computed once at stream reset)
+        from the incoming state into the step's output state, so every
+        runtime's scan carries them unchanged."""
+        for k in self.enroll_state_keys:
+            st[k] = state[k]
+        return st
+
     def bottleneck_pre(self, params, state, h):
         # h: [B, D, T] (scan) or [N, B, D, T] (stacked); params are
         # already cast to cdtype by forward's _cast — compute FiLM in
@@ -622,34 +640,30 @@ class TemporalCRNSpk(TemporalCRN):
         return (mixture[:, :self.num_inputs],
                 mixture[:, self.num_inputs, :self.enroll_len])
 
-    # state carries the embedding through every runtime's scan
+    # state carries the enrollment entries through every runtime's scan
     def forward(self, params, state, x):
         pred, st = super().forward(params, state, x)
-        st["spk"] = state["spk"]
-        return pred, st
+        return pred, self._carry_enroll(state, st)
 
     def forward_stacked(self, params, state, x):
         pred, st = super().forward_stacked(params, state, x)
-        st["spk"] = state["spk"]
-        return pred, st
+        return pred, self._carry_enroll(state, st)
 
     def forward_with_features(self, params, state, x):
         pred, feats, st = super().forward_with_features(params, state, x)
-        st["spk"] = state["spk"]
-        return pred, feats, st
+        return pred, feats, self._carry_enroll(state, st)
 
     def forward_stacked_with_features(self, params, state, x):
         pred, feats, st = super().forward_stacked_with_features(
             params, state, x)
-        st["spk"] = state["spk"]
-        return pred, feats, st
+        return pred, feats, self._carry_enroll(state, st)
 
     def realtime_process(self, params, state, mixture, flag: bool = False):
         mics, e_wav = self._split(mixture)
         b = mics.shape[0]
         if not flag:
             state = self.init_state(b)
-            state["spk"] = self.encode_enroll(params, e_wav)
+            state.update(self.enroll_state(params, e_wav))
             pad = jnp.zeros((b, self.num_inputs, self.segment_length // 2),
                             mics.dtype)
             mics = jnp.concatenate([pad, mics], axis=-1)
@@ -667,7 +681,7 @@ class TemporalCRNSpk(TemporalCRN):
         b = mics.shape[0]
         if not flag:
             state = self.init_state(b, self.cdtype)
-            state["spk"] = self.encode_enroll(params, e_wav)
+            state.update(self.enroll_state(params, e_wav))
             pad = jnp.zeros((b, self.num_inputs, self.segment_length // 2),
                             mics.dtype)
             mics = jnp.concatenate([pad, mics], axis=-1)
@@ -691,10 +705,12 @@ class TemporalCRNSpk(TemporalCRN):
         mics, e_wav = self._split(mixture)
         b = mics.shape[0]
         state = select_reset(state, self.init_state(b), reset_mask)
-        e_new = self.encode_enroll(params, e_wav)
+        fresh = self.enroll_state(params, e_wav)
         # streams that reset adopt the fresh enrollment; continuing
-        # streams keep the embedding already in their state
-        state["spk"] = jnp.where(reset_mask[:, None], e_new, state["spk"])
+        # streams keep the entries already in their state
+        for k, v in fresh.items():
+            m_ = reset_mask.reshape((-1,) + (1,) * (v.ndim - 1))
+            state[k] = jnp.where(m_, v, state[k])
         x, gap = self.preprocessing(mics)
         preds, state = self.forward_stacked(params, state, x)
         wav = self.postprocessing(preds, gap)
@@ -738,3 +754,104 @@ class TemporalCRNSpkDeep(TemporalCRNSpk):
             gamma = gamma[:, :, None, None]
             beta = beta[:, :, None, None]
         return h * gamma.astype(h.dtype) + beta.astype(h.dtype)
+
+
+class TemporalCRNSpkXAttn(TemporalCRNSpkDeep):
+    """Deep FiLM + bottleneck cross-attention to ENROLLMENT FRAMES.
+
+    Round-5 measured motivation (docs/BENCHMARKS.md "Deep-FiLM
+    conditioning"): deep FiLM moved stress babble +1.08 -> +1.79 dB at
+    N=300, far short of the +39.7 dB cIRM oracle — and both FiLM forms
+    funnel the enrollment through ONE time-pooled 128-d vector. This
+    variant keeps the pooled path (FiLM everywhere, inherited) and ADDS
+    a per-frame route: the enrollment's frame-level spectra become a
+    static key/value memory, and every bottleneck frame of the mixture
+    cross-attends to it. The model can now match mixture frames against
+    actual spectral exemplars of the target voice (pitch harmonics,
+    formant shapes) instead of a single summary statistic.
+
+    TPU shape: the memory is computed ONCE at stream reset (enrollment
+    is static context, so no causality interaction with streaming),
+    carried in the state like the pooled embedding, and the attention
+    is one [T, D]x[D, d] + [T, d]x[d, T_e] matmul pair per chunk —
+    MXU-friendly, static shapes, no KV growth over time (unlike the
+    GTSA self-attention KV-cache this is O(1) in stream length).
+
+    Zero-init output projection => warm-start identity with the trained
+    TemporalCRNSpkDeep checkpoint (tools/warmstart_spk.py verifies).
+    """
+
+    enroll_state_keys = ("spk", "spk_k", "spk_v")
+
+    def __init__(self, *args, attn_dim=128, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.attn_dim = attn_dim
+        # static frame count of the enrollment memory (ops/stft._frame
+        # center-pads: T = L // hop + 1)
+        self.enroll_frames = self.enroll_len // self.stft_cfg.hop + 1
+
+    def init(self, key):
+        base = super().init(key)
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, 0xa7), 4)
+        feat, hid, d = self.num_freqs, 256, self.attn_dim
+        base["spk"].update({
+            # per-frame enrollment encoder -> key/value tables
+            "xf_w": jax.random.normal(k1, (feat, hid)) * (2.0 / feat) ** 0.5,
+            "xf_b": jnp.zeros((hid,)),
+            "xk_w": jax.random.normal(k2, (hid, d)) * (1.0 / hid) ** 0.5,
+            "xv_w": jax.random.normal(k3, (hid, d)) * (1.0 / hid) ** 0.5,
+            # mixture-side query over the flattened bottleneck features
+            "xq_w": jax.random.normal(k4, (self._gru_in, d))
+                    * (1.0 / self._gru_in) ** 0.5,
+            "xq_b": jnp.zeros((d,)),
+            # zero-init output projection: step 0 == the spk_deep source
+            "xo_w": jnp.zeros((d, self._gru_in)),
+        })
+        return base
+
+    def init_state(self, batch: int, dtype=None):
+        st = super().init_state(batch, dtype)
+        st["spk_k"] = jnp.zeros((batch, self.enroll_frames, self.attn_dim),
+                                jnp.float32)
+        st["spk_v"] = jnp.zeros((batch, self.enroll_frames, self.attn_dim),
+                                jnp.float32)
+        return st
+
+    def enroll_state(self, params, wav):
+        """Pooled embedding (FiLM) + per-frame key/value memory."""
+        from semi_tpu.ops.stft import stft_matmul
+
+        out = super().enroll_state(params, wav)
+        p = params["spk"]
+        wav = wav.astype(jnp.float32)
+        rms = jnp.sqrt(jnp.mean(wav ** 2, axis=-1, keepdims=True) + 1e-8)
+        spec = stft_matmul(wav / rms, n_fft=self.stft_cfg.n_fft,
+                           hop=self.stft_cfg.hop)        # [B, T_e, F, 2]
+        logmag = jnp.log1p(jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2
+                                    + 1e-10))            # [B, T_e, F]
+        h = jax.nn.elu(logmag @ p["xf_w"].astype(jnp.float32) + p["xf_b"])
+        out["spk_k"] = h @ p["xk_w"].astype(jnp.float32)  # [B, T_e, d]
+        out["spk_v"] = h @ p["xv_w"].astype(jnp.float32)
+        return out
+
+    def bottleneck_pre(self, params, state, h):
+        h = super().bottleneck_pre(params, state, h)      # deep FiLM path
+        p = params["spk"]
+        k, v = state["spk_k"], state["spk_v"]             # [B, T_e, d] f32
+        stacked = h.ndim == 4
+        if stacked:                                       # [N, B, D, T]
+            n, b, dch, t = h.shape
+            q_in = h.transpose(1, 0, 3, 2).reshape(b, n * t, dch)
+        else:                                             # [B, D, T]
+            b, dch, t = h.shape
+            q_in = h.transpose(0, 2, 1)
+        q = q_in.astype(jnp.float32) @ p["xq_w"].astype(jnp.float32) \
+            + p["xq_b"].astype(jnp.float32)               # [B, T*, d]
+        scores = q @ k.transpose(0, 2, 1) / (self.attn_dim ** 0.5)
+        att = jax.nn.softmax(scores, axis=-1) @ v         # [B, T*, d]
+        out = att @ p["xo_w"].astype(jnp.float32)         # [B, T*, D]
+        if stacked:
+            out = out.reshape(b, n, t, dch).transpose(1, 0, 3, 2)
+        else:
+            out = out.transpose(0, 2, 1)
+        return h + out.astype(h.dtype)

@@ -162,20 +162,29 @@ def test_meta_twin_matches_array_path_with_enroll(v3_corpus):
         np.testing.assert_allclose(arr[4][:el], row[:el], atol=1.0 / 32768)
 
 
-def test_fused_step_trains_spk_model_with_enroll(v3_corpus):
+@pytest.mark.parametrize("cls_kw", [
+    ("TemporalCRNSpk", {}),
+    # the round-5 cross-attention variant rides the same engine: the
+    # enrollment channel feeds its frame-level K/V memory and gradients
+    # must reach the attention tables through the fused losses
+    ("TemporalCRNSpkXAttn", {"attn_dim": 16}),
+])
+def test_fused_step_trains_spk_model_with_enroll(v3_corpus, cls_kw):
+    import semi_tpu.models.crn as crn_mod
     from semi_tpu.data.dataset import LibriPartyDataset
-    from semi_tpu.models.crn import TemporalCRNSpk
     from semi_tpu.train.step import init_train_state
     from semi_tpu.train.utterance import (
         DeviceCorpus, UtteranceBatchSampler, UtteranceMetaSampler,
         make_utterance_train_step)
 
+    cls_name, extra_kw = cls_kw
     cfg = _v3_config(v3_corpus)
     ds = LibriPartyDataset(cfg)
     ds.set_attribute("train", augment=False)
     ds.init_seed(0)
-    m = TemporalCRNSpk(spk_dim=8, enroll_len=16000,
-                       **{k: v for k, v in cfg["TemporalCRN"].items()})
+    m = getattr(crn_mod, cls_name)(
+        spk_dim=8, enroll_len=16000, **extra_kw,
+        **{k: v for k, v in cfg["TemporalCRN"].items()})
     params = m.init(jax.random.PRNGKey(0))
     ts = init_train_state(params, lr=3e-4)
 
@@ -398,3 +407,58 @@ def test_singleton_speaker_fallback_warns(v3_corpus):
     assert idx == 0
     assert any("single utterance" in str(w.message) for w in rec), \
         [str(w.message) for w in rec]
+
+
+@pytest.mark.core
+def test_spk_xattn_zero_init_is_spk_deep_and_conditioning_is_live():
+    """TemporalCRNSpkXAttn: zero-init output projection reproduces the
+    deep-FiLM variant exactly (warm-start identity with a trained
+    spk_deep checkpoint), scan == stacked, and a non-zero output
+    projection actually changes the output in BOTH runtimes (the
+    cross-attention is wired, and identically, in each path)."""
+    import jax.numpy as jnp
+
+    from semi_tpu.models.crn import TemporalCRNSpkDeep, TemporalCRNSpkXAttn
+
+    kw = dict(num_channels=[4, 8], num_freqs=201, hidden=16,
+              segment_length=3200, num_layers=1, num_inputs=3,
+              kernel_size=3)
+    deep = TemporalCRNSpkDeep(spk_dim=8, enroll_len=3200, **kw)
+    xatt = TemporalCRNSpkXAttn(spk_dim=8, enroll_len=3200, attn_dim=16, **kw)
+    dparams = deep.init(jax.random.PRNGKey(0))
+    xparams = xatt.init(jax.random.PRNGKey(0))
+    # shared init chain => non-xattn subtrees identical; make FiLM live
+    # so the identity check covers the inherited conditioning too
+    for p in (dparams, xparams):
+        p["spk"]["film_g"] = p["spk"]["film_g"] + 0.2
+        p["spk"]["film_enc"] = [
+            {"g": t["g"] + 0.1, "b": t["b"] + 0.05}
+            for t in p["spk"]["film_enc"]]
+    mics = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6400)) * 0.1
+    enr = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 6400)) * 0.1
+    mix = jnp.concatenate([mics, enr], axis=1)
+
+    y_deep, _ = deep.realtime_process(dparams, None, mix, flag=False)
+    y_x, _ = xatt.realtime_process(xparams, None, mix, flag=False)
+    np.testing.assert_allclose(np.asarray(y_deep), np.asarray(y_x),
+                               atol=1e-5)
+
+    # scan == stacked for the cross-attention variant
+    y_scan, _ = xatt.realtime_process_scan(xparams, None, mix, flag=False)
+    np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_scan),
+                               atol=1e-4)
+
+    # non-zero output projection changes the output in BOTH runtimes
+    live = jax.tree_util.tree_map(lambda x: x, xparams)
+    live["spk"]["xo_w"] = live["spk"]["xo_w"] + 0.05
+    y_live, _ = xatt.realtime_process(live, None, mix, flag=False)
+    y_live_scan, _ = xatt.realtime_process_scan(live, None, mix, flag=False)
+    assert np.abs(np.asarray(y_live) - np.asarray(y_x)).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(y_live), np.asarray(y_live_scan),
+                               atol=1e-4)
+
+    # the memory rides the state: flag=True continuation keeps K/V
+    wav1, st = xatt.realtime_process(live, None, mix, flag=False)
+    assert st["spk_k"].shape == (1, xatt.enroll_frames, 16)
+    wav2, st2 = xatt.realtime_process(live, st, mix[:, :, :3200], flag=True)
+    assert np.asarray(jnp.abs(st2["spk_k"] - st["spk_k"])).max() == 0.0
